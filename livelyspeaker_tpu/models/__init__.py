@@ -1,0 +1,6 @@
+"""Model zoo: RAG denoiser, audio frontend, CFG wrapper, SAG, evaluators."""
+
+from .audio_encoder import WavEncoder, audio_samples_for_frames
+from .cfg import make_cfg_denoiser, make_denoiser
+from .mlp_backbone import MLPBlock, TimestepEmbedder, TransMLP, sinusoidal_table
+from .rag import RAG, RAGConfig, reparameterize
