@@ -1,0 +1,96 @@
+"""Headline benchmark: TED gesture clips/sec/chip at 1000-step DDPM.
+
+Matches the reference's heaviest eval configuration (p_sample_loop over 1000
+cosine-schedule steps with 2x-CFG denoiser passes per step,
+scripts/test_RAG_ted.py:176-178 + cfg_sampler.py:24-31) on the flagship TED
+RAG model (latent 512, 8 mixer blocks), batch sized for the MXU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+vs_baseline is against the 50 clips/s/chip north star in BASELINE.md.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 50.0
+BATCH = 256
+STEPS = 1000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule, sample_loop
+    from livelyspeaker_tpu.models import (
+        RAG,
+        RAGConfig,
+        audio_samples_for_frames,
+        make_cfg_denoiser,
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    cfg = RAGConfig.ted()
+    model = RAG(cfg)
+    rng = np.random.default_rng(0)
+    cond = {
+        "audio": jnp.asarray(
+            rng.normal(size=(BATCH, audio_samples_for_frames(34))).astype(
+                np.float32
+            )
+        ),
+        "vid": jnp.asarray(rng.integers(0, 1400, size=(BATCH,))),
+        "origin_x": jnp.asarray(
+            rng.normal(size=(BATCH, 9, 3, 34)).astype(np.float32)
+        ),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        jnp.zeros((BATCH, 9, 3, 34)),
+        jnp.zeros((BATCH,), jnp.int32),
+        cond,
+    )["params"]
+
+    sched = DiffusionSchedule.create(steps=STEPS, schedule="cosine")
+    denoise = make_cfg_denoiser(model, params, cond, 1.0)
+
+    @jax.jit
+    def generate(key):
+        return sample_loop(
+            denoise, sched, (BATCH, 9, 3, 34), key, method="ddpm"
+        )
+
+    t0 = time.time()
+    out = jax.block_until_ready(generate(jax.random.PRNGKey(0)))
+    compile_s = time.time() - t0
+    assert bool(jnp.isfinite(out).all()), "non-finite samples"
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        jax.block_until_ready(generate(jax.random.PRNGKey(i + 1)))
+        times.append(time.time() - t0)
+    best = min(times)
+    clips_per_sec = BATCH / best
+    print(
+        f"compile={compile_s:.1f}s steady={best:.3f}s batch={BATCH}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ted_rag_ddpm1000_cfg_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Batching data loader with background prefetch to device.
+
+Replaces the reference's 16-worker torch DataLoader
+(scripts/train_utils/ted_loader.py:53).  On TPU hosts the win is overlap,
+not fork parallelism: a single background thread assembles the next numpy
+batch and ships it to device (sharded over the 'data' mesh axis when a
+sharding is given) while the current step runs.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 233,
+        collate: Optional[Callable[[Dict], Dict]] = None,
+        sharding=None,
+        prefetch: int = 2,
+        host_id: int = 0,
+        num_hosts: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate = collate
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self._rng = np.random.default_rng(seed)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        # Per-host shard of the global index stream (multi-host DP).
+        idx = idx[self.host_id :: self.num_hosts]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batches(self) -> Iterator[Dict]:
+        idx = self._epoch_indices()
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s : s + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            batch = self.dataset.batch(chunk)
+            if self.collate is not None:
+                batch = self.collate(batch)
+            yield batch
+
+    def _to_device(self, batch: Dict):
+        if self.sharding is None:
+            return batch
+        return {
+            k: (
+                jax.device_put(v, self.sharding)
+                if isinstance(v, np.ndarray)
+                else v
+            )
+            for k, v in batch.items()
+        }
+
+    def __iter__(self) -> Iterator[Dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def producer():
+            try:
+                for b in self._make_batches():
+                    q.put(self._to_device(b))
+            except Exception as e:  # surfaced in consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -1,0 +1,11 @@
+"""Mesh-parallel execution: device meshes, sharding rules, collectives."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)

@@ -1,0 +1,120 @@
+"""Device mesh + sharding rules.
+
+The reference's distributed story is vestigial torch.distributed scaffolding
+(``scripts/mdm_utils/dist_util.py:26-41`` — commented-out MPI/NCCL init,
+``use_ddp=False`` at train_loop.py:79).  Here parallelism is first-class and
+TPU-native: a 2-axis ``jax.sharding.Mesh`` — ``data`` for batch (DP) and
+``model`` for tensor parallelism of the wide matmuls — with GSPMD inserting
+the collectives over ICI.
+
+Model sizes are modest (tens of MB), so DP carries throughput; TP rules
+shard the latent-width matmuls (channel-mix, input/pose projections, the
+speaker/CLIP projections) so the same code scales the latent dimension up
+without code changes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "param_spec",
+    "shard_params",
+    "replicated",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+# Rules: regex over the flattened param path -> PartitionSpec.
+# Only the wide (latent x latent or wider) matmuls are TP-sharded; everything
+# small replicates.  Output-dim sharding keeps the subsequent activation
+# feature-sharded, GSPMD all-gathers before LayerNorm automatically.
+_PARAM_RULES = (
+    (re.compile(r"channel_mix/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"input_mapping/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"(linear1|mlp_c_fc)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"(linear2|mlp_c_proj)/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r"embed_timestep/fc[12]/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"(speaker_mu|speaker_logvar)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"in_proj_weight$"), P(MODEL_AXIS, None)),
+    (re.compile(r"token_embedding$"), P(None, MODEL_AXIS)),
+    (re.compile(r"speaker_embedding/embedding$"), P(None, MODEL_AXIS)),
+)
+
+
+def param_spec(path: str, leaf) -> P:
+    for rx, spec in _PARAM_RULES:
+        if rx.search(path):
+            # Only shard if the dimension is actually divisible; tiny dims
+            # (e.g. 27-d pose outputs) replicate.
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a param tree under the TP rules, falling back
+    to replication when a dim doesn't divide the mesh axis."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def one(path, leaf):
+        spec = param_spec(_path_str(path), leaf)
+        # validate divisibility
+        dims = tuple(spec)
+        for axis_idx, name in enumerate(dims):
+            if name == MODEL_AXIS:
+                if axis_idx >= leaf.ndim or leaf.shape[axis_idx] % model_size:
+                    return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param tree on the mesh according to the TP rules."""
+    return jax.device_put(params, param_shardings(params, mesh))
