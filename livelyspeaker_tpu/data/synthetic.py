@@ -1,0 +1,107 @@
+"""Synthetic TED-like clips for tests, smoke training and benchmarks.
+
+Generates kinematically-plausible skeletons (mean pose + smooth band-limited
+arm motion, constant bone lengths) with matching 16 kHz audio and word
+timings, then routes them through the *real* offline pipeline
+(ted.build_ted_records), so windowing, filtering and dir-vec conversion run
+exactly as they would on real TED data.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List
+
+import numpy as np
+
+from .ted import TedConfig, build_ted_records
+from ..ops.skeleton import DIR_VEC_PAIRS, MEAN_DIR_VEC
+
+__all__ = ["synthetic_clips", "build_synthetic_ted_records"]
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog people talk about ideas "
+    "gesture motion speech rhythm semantic generation model hands arms"
+).split()
+
+
+def _smooth_noise(rng: np.random.Generator, n: int, dims: int, fps: int) -> np.ndarray:
+    """Band-limited noise: random low-frequency Fourier components."""
+    freqs = np.fft.rfftfreq(n, d=1.0 / fps)
+    spec = rng.normal(size=(len(freqs), dims)) + 1j * rng.normal(
+        size=(len(freqs), dims)
+    )
+    spec[freqs > 2.0] = 0  # keep <= 2 Hz components (gesture band)
+    out = np.fft.irfft(spec, n=n, axis=0).real
+    out /= max(np.abs(out).max(), 1e-6)
+    return out
+
+
+def _skeleton_from_dir_vecs(dir_vecs: np.ndarray) -> np.ndarray:
+    """FK on [T, 9, 3] unit vectors -> [T, 10, 3] joints (numpy)."""
+    t = dir_vecs.shape[0]
+    joints = np.zeros((t, 10, 3), np.float64)
+    for b, (parent, child, length) in enumerate(DIR_VEC_PAIRS):
+        joints[:, child] = joints[:, parent] + length * dir_vecs[:, b]
+    return joints
+
+
+def synthetic_clips(
+    n_clips: int = 4,
+    clip_seconds: float = 12.0,
+    native_fps: int = 20,
+    n_speakers: int = 4,
+    seed: int = 233,
+) -> Iterable[Dict]:
+    rng = np.random.default_rng(seed)
+    mean_dv = MEAN_DIR_VEC.reshape(9, 3)
+    for c in range(n_clips):
+        n_frames = int(clip_seconds * native_fps)
+        # Perturb the mean direction vectors smoothly, renormalise.
+        wob = _smooth_noise(rng, n_frames, 27, native_fps).reshape(
+            n_frames, 9, 3
+        )
+        dv = mean_dv[None] + 0.35 * wob
+        dv /= np.maximum(np.linalg.norm(dv, axis=-1, keepdims=True), 1e-9)
+        skeletons = _skeleton_from_dir_vecs(dv)
+
+        audio = (
+            0.1 * rng.normal(size=int(clip_seconds * 16000))
+        ).astype(np.float32)
+        # speech-ish amplitude modulation
+        tgrid = np.linspace(0, clip_seconds, len(audio), endpoint=False)
+        audio *= (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * tgrid)).astype(
+            np.float32
+        )
+
+        words: List = []
+        t0 = 0.2
+        while t0 < clip_seconds - 0.5:
+            dur = float(rng.uniform(0.15, 0.5))
+            words.append([str(rng.choice(_WORDS)), t0, t0 + dur])
+            t0 += dur + float(rng.uniform(0.02, 0.2))
+
+        yield {
+            "vid": f"speaker_{c % n_speakers:03d}",
+            "skeletons": skeletons,
+            "audio": audio,
+            "words": words,
+            "start_time": 0.0,
+            "end_time": clip_seconds,
+        }
+
+
+def build_synthetic_ted_records(
+    out_dir: str,
+    n_clips: int = 4,
+    clip_seconds: float = 12.0,
+    seed: int = 233,
+    cfg: TedConfig | None = None,
+):
+    cfg = cfg or TedConfig()
+    n, vocab = build_ted_records(
+        cfg,
+        synthetic_clips(n_clips=n_clips, clip_seconds=clip_seconds, seed=seed),
+        out_dir,
+        disable_filtering=False,
+    )
+    return n, vocab

@@ -1,0 +1,183 @@
+"""High-level generation pipelines — the user-facing API.
+
+``RAGSampler`` is the RAG-only path (scripts/test_RAG_ted.py:38-141);
+``LivelySpeakerPipeline`` is the full two-stage composition
+(scripts/test_LivelySpeaker_ted.py:57-113): SAG decodes a motion sketch from
+a CLIP text embedding, which is q_sample-noised to step T-skip and
+rhythm-refined by the RAG diffusion under classifier-free guidance.
+
+Everything from the CLIP text encode to the final clip compiles into (at
+most) two XLA programs; audio encoding is hoisted out of the diffusion scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diffusion import DiffusionSchedule, Inpainting, sample_loop
+from .models import RAG, RAGConfig, make_cfg_denoiser
+from .models.clip_text import CLIPTextEncoder
+from .models.sag import SAG
+
+__all__ = ["RAGSampler", "LivelySpeakerPipeline"]
+
+
+class RAGSampler:
+    """Audio+speaker conditioned gesture sampling with CFG.
+
+    The whole reverse chain jits once per (batch shape, skip, method)
+    combination; guidance scale, conditioning tensors, init_image and the RNG
+    key are traced arguments, so a guidance sweep (test_RAG_ted.py:183-193)
+    reuses one executable.
+    """
+
+    def __init__(
+        self,
+        model: RAG,
+        params,
+        *,
+        steps: int = 1000,
+        schedule: str = "cosine",
+        timestep_respacing: Optional[str] = "ddim100",
+        method: str = "ddim",
+    ):
+        self.model = model
+        self.params = params
+        self.method = method
+        self.sched = DiffusionSchedule.create(
+            steps=steps, schedule=schedule, timestep_respacing=timestep_respacing
+        )
+        self._jitted: Dict = {}
+
+    def _build(self, skip_timesteps: int, with_init: bool, with_inpaint: bool,
+               noised_inpaint: bool):
+        c = self.model.cfg
+
+        def fn(params, cond, guidance, rng, init_image, inpaint_mask,
+               inpaint_motion):
+            b = cond["vid"].shape[0]
+            denoise = make_cfg_denoiser(self.model, params, cond, guidance)
+            inpainting = (
+                Inpainting(inpaint_mask, inpaint_motion, noised_inpaint)
+                if with_inpaint
+                else None
+            )
+            return sample_loop(
+                denoise,
+                self.sched,
+                (b, c.njoints, c.nfeats, c.nframes),
+                rng,
+                method=self.method,
+                skip_timesteps=skip_timesteps,
+                init_image=init_image if with_init else None,
+                inpainting=inpainting,
+            )
+
+        return jax.jit(fn)
+
+    def __call__(
+        self,
+        cond: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        *,
+        guidance=1.5,
+        skip_timesteps: int = 0,
+        init_image: Optional[jnp.ndarray] = None,
+        inpainting: Optional[Inpainting] = None,
+    ) -> jnp.ndarray:
+        c = self.model.cfg
+        b = cond["vid"].shape[0]
+        with_init = init_image is not None or skip_timesteps > 0
+        with_inpaint = inpainting is not None
+        key = (b, skip_timesteps, with_init, with_inpaint,
+               inpainting.noised if with_inpaint else True)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(
+                skip_timesteps, with_init, with_inpaint,
+                inpainting.noised if with_inpaint else True,
+            )
+        zeros = jnp.zeros((b, c.njoints, c.nfeats, c.nframes))
+        return self._jitted[key](
+            self.params,
+            cond,
+            jnp.asarray(guidance, jnp.float32),
+            rng,
+            init_image if init_image is not None else zeros,
+            inpainting.mask if with_inpaint else jnp.zeros_like(zeros, bool),
+            inpainting.motion if with_inpaint else zeros,
+        )
+
+
+class LivelySpeakerPipeline:
+    """text + audio + speaker -> gesture clip (SAG sketch, RAG refinement)."""
+
+    def __init__(
+        self,
+        rag: RAG,
+        rag_params,
+        sag: SAG,
+        sag_params,
+        clip_text: CLIPTextEncoder,
+        clip_params,
+        tokenizer,
+        *,
+        steps: int = 1000,
+        timestep_respacing: str = "ddim100",
+        skip_timesteps: int = 80,  # test_LivelySpeaker_ted.py:212
+        method: str = "ddim",
+    ):
+        self.rag_sampler = RAGSampler(
+            rag,
+            rag_params,
+            steps=steps,
+            timestep_respacing=timestep_respacing,
+            method=method,
+        )
+        self.sag = sag
+        self.sag_params = sag_params
+        self.clip_text = clip_text
+        self.clip_params = clip_params
+        self.tokenizer = tokenizer
+        self.skip_timesteps = skip_timesteps
+        self._encode_text = jax.jit(
+            lambda tokens: self.clip_text.apply(
+                {"params": self.clip_params}, tokens
+            )
+        )
+        self._sag_decode = jax.jit(
+            lambda z, x: self.sag.apply(
+                {"params": self.sag_params}, z, x, method=self.sag.decode
+            )
+        )
+
+    def semantic_sketch(
+        self, sentences: Sequence[str], seed_motion: jnp.ndarray
+    ) -> jnp.ndarray:
+        """SAG decode from CLIP text features
+        (test_LivelySpeaker_ted.py:79-91)."""
+        tokens = jnp.asarray(self.tokenizer(list(sentences)))
+        z = self._encode_text(tokens)
+        return self._sag_decode(z, seed_motion)
+
+    def __call__(
+        self,
+        sentences: Sequence[str],
+        cond: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        *,
+        guidance: float = 1.5,
+    ) -> jnp.ndarray:
+        """Full composition (test_LivelySpeaker_ted.py:95-113)."""
+        sketch = self.semantic_sketch(sentences, cond["origin_x"])
+        return self.rag_sampler(
+            cond,
+            rng,
+            guidance=guidance,
+            skip_timesteps=self.skip_timesteps,
+            init_image=sketch,
+        )

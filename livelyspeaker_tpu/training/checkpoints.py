@@ -82,3 +82,22 @@ def params_to_flat_numpy(params) -> Dict[str, np.ndarray]:
 
     jax.tree_util.tree_map_with_path(visit, params)
     return flat
+
+
+def save_params_npz(path: str, params) -> None:
+    """Template-free portable params file (model weights only, mirroring the
+    reference's plain state_dict saves, train_loop.py:205-217)."""
+    np.savez(path, **params_to_flat_numpy(jax.device_get(params)))
+
+
+def load_params_npz(path: str) -> Dict:
+    """Rebuild the nested param dict from a flat npz."""
+    flat = np.load(path)
+    tree: Dict = {}
+    for key in flat.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return tree

@@ -1,0 +1,135 @@
+"""Host-side training loop.
+
+Mirrors the reference TrainLoop surface (``scripts/train_utils/
+train_loop.py:22-225``): epochs over the loader, per-step KV logging with
+loss quartiles, LR anneal stop condition, periodic checkpointing with
+resume — driving the jitted mesh-parallel step from trainer.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from .checkpoints import CheckpointManager, save_args
+from .logging import KVLogger, NoPlatform, TrainPlatform
+from .trainer import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+__all__ = ["TrainLoop"]
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        model,
+        sched,
+        params,
+        data: Iterable,
+        *,
+        cfg: Optional[TrainConfig] = None,
+        save_dir: Optional[str] = None,
+        num_epochs: int = 1501,
+        log_interval: int = 100,
+        save_after_epoch: int = 600,
+        save_every_epochs: int = 100,
+        platform: Optional[TrainPlatform] = None,
+        seed: int = 233,
+        args_to_save: Optional[Dict] = None,
+        resume: bool = False,
+    ):
+        self.model = model
+        self.sched = sched
+        self.data = data
+        self.cfg = cfg or TrainConfig()
+        self.num_epochs = num_epochs
+        self.log_interval = log_interval
+        self.save_after_epoch = save_after_epoch
+        self.save_every_epochs = save_every_epochs
+        self.save_dir = save_dir
+        self.logger = KVLogger(save_dir)
+        self.platform = platform or NoPlatform(save_dir or ".")
+        self.rng = jax.random.PRNGKey(seed)
+
+        tx = make_optimizer(self.cfg)
+        self.state = init_train_state(params, tx)
+        self.step_fn = jax.jit(
+            make_train_step(model, sched, tx, self.cfg), donate_argnums=0
+        )
+        self.ckpt = CheckpointManager(save_dir) if save_dir else None
+        self.start_step = 0
+        if save_dir and args_to_save is not None:
+            save_args(save_dir, args_to_save)
+        if resume and self.ckpt is not None:
+            restored, step = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                self.start_step = step
+                print(f"resumed from step {step}")
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    def run_loop(self) -> TrainState:
+        t_start = time.time()
+        for epoch in range(self.num_epochs):
+            for batch in self.data:
+                if (
+                    self.cfg.lr_anneal_steps
+                    and self.step >= self.cfg.lr_anneal_steps
+                ):
+                    break
+                self.rng, step_rng = jax.random.split(self.rng)
+                dev_batch = {
+                    k: v
+                    for k, v in batch.items()
+                    if k in ("motion", "audio", "vid", "mask", "emo")
+                }
+                self.state, metrics = self.step_fn(
+                    self.state, dev_batch, step_rng
+                )
+                if self.step % self.log_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    for k, v in metrics.items():
+                        self.logger.logkv_mean(k, v)
+                    self.logger.logkv("step", self.step)
+                    self.logger.logkv(
+                        "samples", self.step * batch["motion"].shape[0]
+                    )
+                    self.logger.logkv("elapsed_s", time.time() - t_start)
+                    out = self.logger.dumpkvs()
+                    for k, v in out.items():
+                        self.platform.report_scalar(
+                            name=k, value=v, iteration=self.step,
+                            group_name="Loss",
+                        )
+            if (
+                self.ckpt is not None
+                and epoch % self.save_every_epochs == 0
+                and epoch > self.save_after_epoch
+            ):
+                self.save()
+        if self.ckpt is not None:
+            self.save()
+        return self.state
+
+    def save(self) -> None:
+        if self.ckpt.latest_step() == self.step:
+            return  # already saved at this step
+        host_state = jax.device_get(self.state)
+        self.ckpt.save(self.step, host_state)
+        from .checkpoints import save_params_npz
+
+        save_params_npz(
+            f"{self.save_dir}/model{self.step:09d}.npz", host_state.params
+        )
+        print(f"saved checkpoint at step {self.step}")

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Train the RAG diffusion denoiser (reference: scripts/train_RAG.py).
+
+Examples:
+    # smoke-train on synthetic data
+    python scripts/train_rag.py --dataset synthetic --epochs 2 \
+        --batch_size 32 --save_dir /tmp/rag_synth --log_interval 5
+
+    # real TED records (built by scripts/build_ted_records.py)
+    python scripts/train_rag.py --dataset ted --data_dir ./datasets/ted_records \
+        --save_dir ./save/rag_ted
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+from livelyspeaker_tpu.diffusion import DiffusionSchedule
+from livelyspeaker_tpu.models import RAG, RAGConfig
+from livelyspeaker_tpu.parallel import batch_sharding, create_mesh, shard_params
+from livelyspeaker_tpu.training import TrainConfig
+from livelyspeaker_tpu.training.loop import TrainLoop
+from livelyspeaker_tpu.utils.config import train_args
+
+
+def main():
+    args = train_args()
+    np.random.seed(args.seed)
+
+    if args.dataset == "synthetic":
+        from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records
+
+        data_dir = os.path.join(tempfile.gettempdir(), "ls_tpu_synth")
+        if not os.path.exists(os.path.join(data_dir, "meta.json")):
+            print("building synthetic records...")
+            build_synthetic_ted_records(data_dir, n_clips=8, clip_seconds=20)
+        args.data_dir = data_dir
+
+    dataset = TedWindowDataset(args.data_dir)
+    n_speakers = max(args.n_speakers, dataset.speaker_model.n_words
+                     if dataset.speaker_model else 0)
+
+    mesh = create_mesh()  # all available devices, pure DP by default
+    loader = DataLoader(
+        dataset,
+        batch_size=min(args.batch_size, max(len(dataset) // 2, 1)),
+        shuffle=True,
+        seed=args.seed,
+        sharding=batch_sharding(mesh),
+    )
+
+    cfg = RAGConfig(
+        njoints=args.njoints,
+        nfeats=args.nfeats,
+        nframes=args.n_poses,
+        latent_dim=args.latent_dim,
+        num_layers=args.layers,
+        mlpact=args.mlpact,
+        n_pre_seq=args.n_pre_poses,
+        n_speakers=n_speakers,
+        num_emotions=args.num_emotions,
+        cond_mask_prob=args.cond_mask_prob,
+    )
+    model = RAG(cfg)
+    sched = DiffusionSchedule.create(
+        steps=args.diffusion_steps, schedule=args.noise_schedule
+    )
+
+    sample = dataset[0]
+    init_batch = {
+        k: np.asarray(sample[k])[None] for k in ("motion", "audio", "vid")
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "style": jax.random.PRNGKey(args.seed + 1),
+         "cond_mask": jax.random.PRNGKey(args.seed + 2)},
+        init_batch["motion"],
+        np.zeros((1,), np.int32),
+        {"audio": init_batch["audio"], "vid": init_batch["vid"],
+         "origin_x": init_batch["motion"]},
+        train=True,
+    )["params"]
+    params = shard_params(params, mesh)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"Total params: {n_params / 1e6:.2f}M")
+
+    tcfg = TrainConfig(
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        lr_anneal_steps=args.lr_anneal_steps,
+        lambda_vel=args.lambda_vel,
+    )
+    loop = TrainLoop(
+        model,
+        sched,
+        params,
+        loader,
+        cfg=tcfg,
+        save_dir=args.save_dir,
+        num_epochs=args.epochs,
+        log_interval=args.log_interval,
+        save_after_epoch=600 if args.epochs > 600 else -1,
+        save_every_epochs=args.save_interval,
+        seed=args.seed,
+        args_to_save=vars(args),
+        resume=bool(args.resume_checkpoint),
+    )
+    loop.run_loop()
+    print(f"done at step {loop.step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Data pipeline tests: records round-trip, TED windowing/filtering semantics,
+loader batching, synthetic generator, FK round-trips."""
+
+import numpy as np
+import pytest
+
+from livelyspeaker_tpu.data import (
+    DataLoader,
+    MotionFilter,
+    ShardedDataset,
+    ShardWriter,
+    TedConfig,
+    TedWindowDataset,
+    Vocab,
+    make_audio_fixed_length,
+    resample_pose_seq,
+)
+from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records
+from livelyspeaker_tpu.ops.skeleton import (
+    MEAN_DIR_VEC,
+    MEAN_POSE,
+    convert_dir_vec_to_pose,
+    convert_pose_seq_to_dir_vec,
+)
+
+
+def test_records_roundtrip(tmp_path):
+    w = ShardWriter(str(tmp_path / "ds"), shard_size=3)
+    for i in range(8):
+        w.add(x=np.full((2, 2), i, np.float32), label=f"row{i}", idx=np.int32(i))
+    w.finish()
+    ds = ShardedDataset(str(tmp_path / "ds"))
+    assert len(ds) == 8
+    assert ds[5]["label"] == "row5"
+    np.testing.assert_array_equal(ds[7]["x"], np.full((2, 2), 7))
+    b = ds.batch([0, 4, 7])
+    assert b["x"].shape == (3, 2, 2)
+    assert b["label"] == ["row0", "row4", "row7"]
+
+
+def test_resample_pose_seq_length():
+    poses = np.random.default_rng(0).normal(size=(100, 10, 3))
+    out = resample_pose_seq(poses, duration_in_sec=5.0, fps=15)
+    assert len(out) == 75
+    # endpoints preserved approximately
+    np.testing.assert_allclose(out[0], poses[0], atol=1e-6)
+
+
+def test_make_audio_fixed_length():
+    a = np.arange(10, dtype=np.float32)
+    assert len(make_audio_fixed_length(a, 15)) == 15
+    assert len(make_audio_fixed_length(a, 5)) == 5
+
+
+def test_motion_filter_rules():
+    f = MotionFilter(MEAN_POSE)
+    t = 42
+    mean_pose = MEAN_POSE.reshape(10, 3)
+    # near-mean pose -> rejected as "pose"
+    static = np.tile(mean_pose, (t, 1, 1)) + 1e-4
+    assert f.check(static) == "pose"
+    # moving arms, upright spine -> PASS
+    rng = np.random.default_rng(0)
+    moving = np.tile(mean_pose, (t, 1, 1))
+    moving[:, 4:] += 0.05 * rng.normal(size=(t, 6, 3))  # arms only
+    moving[:, 6] += 0.2 * np.sin(np.linspace(0, 6, t))[:, None]
+    moving[:, 9] += 0.2 * np.cos(np.linspace(0, 6, t))[:, None]
+    assert f.check(moving) == "PASS"
+    # tilted spine -> rejected
+    tilted = moving.copy()
+    tilted[:, 1, 0] = tilted[:, 0, 0] + 1.0  # spine sideways
+    assert f.check(tilted) == "spine angle"
+    # static wrists -> "motion"
+    frozen = np.tile(mean_pose * 1.5, (t, 1, 1))
+    assert f.check(frozen) == "motion"
+
+
+def test_fk_dir_vec_roundtrip():
+    rng = np.random.default_rng(1)
+    dv = rng.normal(size=(4, 9, 3))
+    dv /= np.linalg.norm(dv, axis=-1, keepdims=True)
+    pose = np.asarray(convert_dir_vec_to_pose(dv))
+    assert pose.shape == (4, 10, 3)
+    dv2 = np.asarray(convert_pose_seq_to_dir_vec(pose))
+    np.testing.assert_allclose(dv2, dv, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def synthetic_records(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth") / "ted"
+    n, vocab = build_synthetic_ted_records(str(d), n_clips=3, clip_seconds=10)
+    return str(d), n, vocab
+
+
+def test_synthetic_records_built(synthetic_records):
+    root, n, vocab = synthetic_records
+    assert n > 0
+    assert vocab.n_words >= 2  # speakers indexed
+
+
+def test_ted_window_dataset(synthetic_records):
+    root, n, _ = synthetic_records
+    lang = Vocab("words")
+    ds = TedWindowDataset(root, lang_model=lang)
+    assert len(ds) == n
+    s = ds[0]
+    assert s["motion"].shape == (9, 3, 34)
+    assert s["audio"].shape == (TedConfig().audio_length,)  # 36267
+    assert s["word_ids"].shape == (34,)
+    assert s["sentence"].startswith('A person is talking: "')
+    # motion is mean-subtracted dir vecs: adding mean back gives unit vectors
+    dv = s["motion"].transpose(2, 0, 1) + MEAN_DIR_VEC.reshape(9, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(dv, axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_loader_batching(synthetic_records):
+    root, n, _ = synthetic_records
+    ds = TedWindowDataset(root)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == n // 4
+    b = batches[0]
+    assert b["motion"].shape == (4, 9, 3, 34)
+    assert len(b["sentence"]) == 4
+    # two epochs shuffle differently
+    b2 = next(iter(dl))
+    assert not np.allclose(b["motion"], b2["motion"])
+
+
+def test_loader_multihost_split(synthetic_records):
+    root, n, _ = synthetic_records
+    ds = TedWindowDataset(root)
+    dl0 = DataLoader(ds, batch_size=2, shuffle=False, host_id=0, num_hosts=2)
+    dl1 = DataLoader(ds, batch_size=2, shuffle=False, host_id=1, num_hosts=2)
+    a = next(iter(dl0))["audio"]
+    b = next(iter(dl1))["audio"]
+    assert len(dl0) == len(ds) // 2 // 2
+    # disjoint index streams -> different windows
+    assert not np.array_equal(a, b)
