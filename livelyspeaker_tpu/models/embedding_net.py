@@ -3,31 +3,35 @@
 Inference-only ports of the metric fixtures:
 - TED: the TriModal gesture-autoencoder *encoder* used by the FGD evaluator
   (``scripts/model/embedding_net.py:41-81`` PoseEncoderConv; loaded frozen at
-  ``scripts/model/ted_evaluator.py:14-23``).
+  ``scripts/model/ted_evaluator.py:14-23``); out_net widths 8x/4x base.
 - BEAT: HalfEmbeddingNet's PoseEncoderConv (``scripts_beat/model/
-  motion_autoencoder.py:38-74,156-167``).
+  motion_autoencoder.py:38-73,156-167``); parametric base (vae_length=300,
+  pose_dims=282, configs/beat.yaml:17,26); out_net widths 4x/2x base.
 
 BatchNorm runs in inference mode on stored running statistics — these nets
 are never trained here, only evaluated, so the stats are plain frozen params
-filled by the torch-checkpoint converters below.
+filled by the torch-checkpoint converter below.
 
 Quirk preserved deliberately: the reference's ``nn.LeakyReLU(True)`` inside
 ``out_net`` passes ``True`` as ``negative_slope`` (=1.0), making those
 activations identity functions.  Bit-parity with the released evaluator
-checkpoint requires reproducing that (embedding_net.py:52-61).
+checkpoints requires reproducing that (embedding_net.py:52-61).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 __all__ = [
+    "PoseEmbeddingEncoder",
     "TedEmbeddingEncoder",
+    "BeatEmbeddingEncoder",
     "ted_embedding_params_from_torch",
+    "pose_embedding_params_from_torch",
 ]
 
 
@@ -37,56 +41,62 @@ def _frozen_bn(x: jnp.ndarray, p: Dict, eps: float = 1e-5) -> jnp.ndarray:
     return (x - p["mean"]) * inv * p["scale"] + p["bias"]
 
 
-class TedEmbeddingEncoder(nn.Module):
-    """poses [B, T, D] -> 32-d embedding (PoseEncoderConv with
+class PoseEmbeddingEncoder(nn.Module):
+    """poses [B, T, D] -> base-dim embedding (PoseEncoderConv with
     variational_encoding=False: returns fc_mu(out))."""
 
     pose_dim: int = 27
     n_frames: int = 34
+    base: int = 32
+    hidden_mults: Tuple[int, int] = (8, 4)  # TED; BEAT uses (4, 2)
 
     @nn.compact
     def __call__(self, poses: jnp.ndarray) -> jnp.ndarray:
-        x = poses  # keep NWC: [B, T, D]; torch runs NCW with D as channels
+        x = poses  # NWC: [B, T, D]; torch runs NCW with D as channels
 
-        def conv_bn_lrelu(x, feat, ksize, stride, name):
-            x = nn.Conv(
-                feat, (ksize,), strides=(stride,), padding="VALID", name=name
-            )(x)
-            bnp = {
+        def bn_params(name, feat):
+            return {
                 "mean": self.param(f"{name}_bn_mean", nn.initializers.zeros, (feat,)),
                 "var": self.param(f"{name}_bn_var", nn.initializers.ones, (feat,)),
                 "scale": self.param(f"{name}_bn_scale", nn.initializers.ones, (feat,)),
                 "bias": self.param(f"{name}_bn_bias", nn.initializers.zeros, (feat,)),
             }
-            x = _frozen_bn(x, bnp)
+
+        def conv_bn_lrelu(x, feat, ksize, stride, name):
+            x = nn.Conv(
+                feat, (ksize,), strides=(stride,), padding="VALID", name=name
+            )(x)
+            x = _frozen_bn(x, bn_params(name, feat))
             return nn.leaky_relu(x, 0.2)
 
-        x = conv_bn_lrelu(x, 32, 3, 1, "conv0")
-        x = conv_bn_lrelu(x, 64, 3, 1, "conv1")
-        x = conv_bn_lrelu(x, 64, 4, 2, "conv2")
-        x = nn.Conv(32, (3,), padding="VALID", name="conv3")(x)
+        b = self.base
+        x = conv_bn_lrelu(x, b, 3, 1, "conv0")
+        x = conv_bn_lrelu(x, b * 2, 3, 1, "conv1")
+        x = conv_bn_lrelu(x, b * 2, 4, 2, "conv2")
+        x = nn.Conv(b, (3,), padding="VALID", name="conv3")(x)
 
-        # torch flattens [B, 32, L] channel-major; our x is [B, L, 32].
+        # torch flattens [B, base, L] channel-major; our x is [B, L, base].
         x = x.transpose(0, 2, 1).reshape(x.shape[0], -1)
 
-        x = nn.Dense(256, name="fc0")(x)
-        bn0 = {
-            "mean": self.param("fc0_bn_mean", nn.initializers.zeros, (256,)),
-            "var": self.param("fc0_bn_var", nn.initializers.ones, (256,)),
-            "scale": self.param("fc0_bn_scale", nn.initializers.ones, (256,)),
-            "bias": self.param("fc0_bn_bias", nn.initializers.zeros, (256,)),
-        }
-        x = _frozen_bn(x, bn0)  # LeakyReLU(True) == identity, skipped
-        x = nn.Dense(128, name="fc1")(x)
-        bn1 = {
-            "mean": self.param("fc1_bn_mean", nn.initializers.zeros, (128,)),
-            "var": self.param("fc1_bn_var", nn.initializers.ones, (128,)),
-            "scale": self.param("fc1_bn_scale", nn.initializers.ones, (128,)),
-            "bias": self.param("fc1_bn_bias", nn.initializers.zeros, (128,)),
-        }
-        x = _frozen_bn(x, bn1)
-        x = nn.Dense(32, name="fc2")(x)
-        return nn.Dense(32, name="fc_mu")(x)
+        h0, h1 = b * self.hidden_mults[0], b * self.hidden_mults[1]
+        x = nn.Dense(h0, name="fc0")(x)
+        x = _frozen_bn(x, bn_params("fc0", h0))  # LeakyReLU(True) == identity
+        x = nn.Dense(h1, name="fc1")(x)
+        x = _frozen_bn(x, bn_params("fc1", h1))
+        x = nn.Dense(b, name="fc2")(x)
+        return nn.Dense(b, name="fc_mu")(x)
+
+
+class TedEmbeddingEncoder(PoseEmbeddingEncoder):
+    pose_dim: int = 27
+    base: int = 32
+    hidden_mults: Tuple[int, int] = (8, 4)
+
+
+class BeatEmbeddingEncoder(PoseEmbeddingEncoder):
+    pose_dim: int = 282
+    base: int = 300
+    hidden_mults: Tuple[int, int] = (4, 2)
 
 
 def _t(a):
@@ -95,10 +105,11 @@ def _t(a):
     return np.asarray(a, np.float32)
 
 
-def ted_embedding_params_from_torch(sd: Dict, prefix: str = "pose_encoder.") -> Dict:
-    """Map the TriModal checkpoint ('gen_dict' of
-    gesture_autoencoder_checkpoint_best.bin, ted_evaluator.py:16-20) onto
-    :class:`TedEmbeddingEncoder` params."""
+def pose_embedding_params_from_torch(
+    sd: Dict, prefix: str = "pose_encoder."
+) -> Dict:
+    """Map a PoseEncoderConv state_dict (TED TriModal 'gen_dict' or BEAT
+    HalfEmbeddingNet) onto :class:`PoseEmbeddingEncoder` params."""
 
     def conv(name):
         return {
@@ -136,3 +147,7 @@ def ted_embedding_params_from_torch(sd: Dict, prefix: str = "pose_encoder.") -> 
     p.update(bn("fc0", "out_net.1"))
     p.update(bn("fc1", "out_net.4"))
     return p
+
+
+# Backwards-compatible name used by the FGD evaluator.
+ted_embedding_params_from_torch = pose_embedding_params_from_torch

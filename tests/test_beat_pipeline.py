@@ -1,0 +1,179 @@
+"""BEAT pipeline tests: BVH parse/write round-trip, euler<->rot6d, window
+records, dataset contract, and a BEAT-config train step."""
+
+import numpy as np
+import jax
+import pytest
+
+from livelyspeaker_tpu.data.beat import (
+    SPINE_NECK_141_JOINTS,
+    BeatConfig,
+    BeatWindowDataset,
+    beat_official_split,
+    build_beat_records,
+    bvh_to_joint_channels,
+    euler_deg_to_rot6d,
+    rot6d_to_euler_deg,
+)
+from livelyspeaker_tpu.data.bvh import BvhData, BvhJoint, parse_bvh, write_bvh
+
+SIMPLE_BVH = """HIERARCHY
+ROOT Hips
+{
+  OFFSET 0.0 0.0 0.0
+  CHANNELS 6 Xposition Yposition Zposition Xrotation Yrotation Zrotation
+  JOINT Spine
+  {
+    OFFSET 0.0 10.0 0.0
+    CHANNELS 3 Xrotation Yrotation Zrotation
+    JOINT Neck
+    {
+      OFFSET 0.0 12.0 0.0
+      CHANNELS 3 Xrotation Yrotation Zrotation
+      End Site
+      {
+        OFFSET 0.0 5.0 0.0
+      }
+    }
+  }
+}
+MOTION
+Frames: 4
+Frame Time: 0.00833333
+0 0 0 1 2 3 4 5 6 7 8 9
+0 0 0 1.1 2.1 3.1 4.1 5.1 6.1 7.1 8.1 9.1
+0 0 0 1.2 2.2 3.2 4.2 5.2 6.2 7.2 8.2 9.2
+0 0 0 1.3 2.3 3.3 4.3 5.3 6.3 7.3 8.3 9.3
+"""
+
+
+def test_bvh_parse():
+    b = parse_bvh(SIMPLE_BVH)
+    assert b.root == "Hips"
+    assert b.frames.shape == (4, 12)
+    assert b.fps == pytest.approx(120.0, rel=1e-3)
+    assert b.rotation_order("Spine") == "XYZ"
+    np.testing.assert_allclose(b.joint_channels("Neck")[0], [7, 8, 9])
+
+
+def test_bvh_write_roundtrip():
+    b = parse_bvh(SIMPLE_BVH)
+    text = write_bvh(b)
+    b2 = parse_bvh(text)
+    assert b2.channel_order == b.channel_order
+    np.testing.assert_allclose(b2.frames, b.frames, atol=1e-5)
+    assert b2.joints["Spine"].offset == b.joints["Spine"].offset
+
+
+def test_bvh_joint_selection_and_downsample():
+    b = parse_bvh(SIMPLE_BVH)
+    out = bvh_to_joint_channels(b, joints=["Spine", "Neck"], target_fps=60)
+    assert out.shape == (2, 6)  # 4 frames @120 -> 2 @60; 2 joints x 3 rot
+    np.testing.assert_allclose(out[0], [4, 5, 6, 7, 8, 9])
+
+
+def test_euler_rot6d_roundtrip(rng_np):
+    euler = rng_np.uniform(-60, 60, size=(5, 47, 3)).astype(np.float32)
+    d6 = euler_deg_to_rot6d(euler)
+    assert d6.shape == (5, 47, 6)
+    back = rot6d_to_euler_deg(d6)
+    np.testing.assert_allclose(back, euler, atol=1e-2)
+
+
+def test_official_split_rules():
+    s = beat_official_split("2_scott_0_1_1.bvh", 120.0)
+    assert s["train"] == [(0.0, 120.0)]
+    s = beat_official_split("0_anything.bvh", 120.0)
+    assert s["val"] == [(0.0, 30.0)] and s["train"] == [(30.0, 120.0)]
+    s = beat_official_split("1_1_foo.bvh", 20.0)
+    assert s["val"] == [(0.0, 20.0)] and s["train"] == []
+
+
+@pytest.fixture(scope="module")
+def beat_records(tmp_path_factory, request):
+    rng = np.random.default_rng(7)
+    cfg = BeatConfig()
+    clips = []
+    for vid in (2, 4):
+        t = 120  # 8 s at 15 fps
+        clips.append(
+            {
+                "vid": vid,
+                "euler141": rng.uniform(-40, 40, size=(t, 141)).astype(
+                    np.float32
+                ),
+                "audio": rng.normal(size=t * 16000 // 15).astype(np.float32)
+                * 0.1,
+                "emo": rng.integers(0, 8, size=t),
+                "sem": rng.uniform(0, 1, size=t).astype(np.float32),
+            }
+        )
+    d = tmp_path_factory.mktemp("beat") / "records"
+    n = build_beat_records(cfg, clips, str(d))
+    return str(d), n
+
+
+def test_beat_records_and_dataset(beat_records):
+    root, n = beat_records
+    assert n > 0
+    ds = BeatWindowDataset(root)
+    assert len(ds) == n
+    s = ds[0]
+    assert s["motion"].shape == (47, 6, 34)
+    assert s["audio"].shape == (BeatConfig().audio_length,)
+    assert s["pose"].shape == (34, 141)
+    assert 0 <= int(s["emo"]) < 8
+    # rot6d columns are valid 6d rotations: converting back gives finite euler
+    back = rot6d_to_euler_deg(s["motion"].transpose(2, 0, 1))
+    assert np.isfinite(back).all()
+    b = ds.batch([0, 1])
+    assert b["motion"].shape == (2, 47, 6, 34)
+
+
+def test_beat_train_step(beat_records):
+    """One training step with the BEAT model config (emotion token)."""
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule
+    from livelyspeaker_tpu.models import RAG, RAGConfig
+    from livelyspeaker_tpu.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    root, _ = beat_records
+    ds = BeatWindowDataset(root)
+    batch = ds.batch([0, 1])
+    cfg = RAGConfig.beat(latent_dim=64, num_layers=2, n_speakers=30)
+    model = RAG(cfg)
+    cond = {
+        "audio": jnp.asarray(batch["audio"]),
+        "vid": jnp.asarray(batch["vid"]),
+        "origin_x": jnp.asarray(batch["motion"]),
+        "emo": jnp.asarray(batch["emo"]),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1),
+         "cond_mask": jax.random.PRNGKey(2)},
+        jnp.asarray(batch["motion"]),
+        jnp.zeros((2,), jnp.int32),
+        cond,
+        train=True,
+    )["params"]
+    sched = DiffusionSchedule.create(steps=20)
+    # BEAT uses kld weight 0 (scripts_beat train_loop.py:246)
+    tcfg = TrainConfig(kld_weight=0.0)
+    tx = make_optimizer(tcfg)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_train_step(model, sched, tx, tcfg))
+    dev_batch = {
+        "motion": jnp.asarray(batch["motion"]),
+        "audio": jnp.asarray(batch["audio"]),
+        "vid": jnp.asarray(batch["vid"]),
+        "emo": jnp.asarray(batch["emo"]),
+    }
+    state2, metrics = step(state, dev_batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
