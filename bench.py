@@ -22,7 +22,19 @@ STEPS = 1000
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the 100-1000-step scans are expensive to
+    # compile (worse under remote-compile contention); cache across runs.
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from livelyspeaker_tpu.diffusion import DiffusionSchedule, sample_loop
@@ -56,30 +68,43 @@ def main():
     )["params"]
 
     sched = DiffusionSchedule.create(steps=STEPS, schedule="cosine")
-    denoise = make_cfg_denoiser(model, params, cond, 1.0)
 
-    @jax.jit
-    def generate(key):
-        return sample_loop(
-            denoise, sched, (BATCH, 9, 3, 34), key, method="ddpm"
-        )
+    def timed(denoise, label):
+        @jax.jit
+        def generate(key):
+            return sample_loop(
+                denoise, sched, (BATCH, 9, 3, 34), key, method="ddpm"
+            )
 
-    t0 = time.time()
-    out = jax.block_until_ready(generate(jax.random.PRNGKey(0)))
-    compile_s = time.time() - t0
-    assert bool(jnp.isfinite(out).all()), "non-finite samples"
-
-    times = []
-    for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(generate(jax.random.PRNGKey(i + 1)))
-        times.append(time.time() - t0)
-    best = min(times)
+        out = jax.block_until_ready(generate(jax.random.PRNGKey(0)))
+        compile_s = time.time() - t0
+        assert bool(jnp.isfinite(out).all()), "non-finite samples"
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            jax.block_until_ready(generate(jax.random.PRNGKey(i + 1)))
+            times.append(time.time() - t0)
+        best = min(times)
+        print(
+            f"{label}: compile={compile_s:.1f}s steady={best:.3f}s "
+            f"batch={BATCH} ({BATCH / best:.1f} clips/s)",
+            file=sys.stderr,
+        )
+        return best
+
+    from livelyspeaker_tpu.models.fast_rag import make_fused_cfg_denoiser
+
+    best = timed(make_cfg_denoiser(model, params, cond, 1.0), "xla")
+    try:
+        best_fused = timed(
+            make_fused_cfg_denoiser(model, params, cond, 1.0), "pallas-fused"
+        )
+        best = min(best, best_fused)
+    except Exception as e:  # fused path is an optimization, not a dependency
+        print(f"pallas-fused path failed: {e}", file=sys.stderr)
+
     clips_per_sec = BATCH / best
-    print(
-        f"compile={compile_s:.1f}s steady={best:.3f}s batch={BATCH}",
-        file=sys.stderr,
-    )
     print(
         json.dumps(
             {

@@ -15,7 +15,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["BvhJoint", "BvhData", "parse_bvh", "write_bvh"]
+__all__ = ["BvhJoint", "BvhData", "parse_bvh", "write_bvh",
+           "bvh_world_positions"]
 
 
 @dataclass
@@ -67,6 +68,72 @@ class BvhData:
             frames=self.frames[:, cols],
             channel_order=order,
         )
+
+
+def bvh_world_positions(data: BvhData) -> np.ndarray:
+    """Forward kinematics: world joint positions [T, n_joints, 3] from the
+    euler frames (pymo MocapParameterizer 'position' equivalent,
+    preprocessing.py:14-225).  Joint order = hierarchy declaration order."""
+
+    def euler_matrix(order: str, deg: np.ndarray) -> np.ndarray:
+        """Intrinsic rotation in the declared channel order. deg [T, len]."""
+        t = deg.shape[0]
+        m = np.broadcast_to(np.eye(3), (t, 3, 3)).copy()
+        for k, axis in enumerate(order):
+            a = np.deg2rad(deg[:, k])
+            c, s = np.cos(a), np.sin(a)
+            r = np.zeros((t, 3, 3))
+            if axis == "X":
+                r[:, 0, 0] = 1
+                r[:, 1, 1], r[:, 1, 2] = c, -s
+                r[:, 2, 1], r[:, 2, 2] = s, c
+            elif axis == "Y":
+                r[:, 0, 0], r[:, 0, 2] = c, s
+                r[:, 1, 1] = 1
+                r[:, 2, 0], r[:, 2, 2] = -s, c
+            else:
+                r[:, 0, 0], r[:, 0, 1] = c, -s
+                r[:, 1, 0], r[:, 1, 1] = s, c
+                r[:, 2, 2] = 1
+            m = m @ r
+        return m
+
+    t_total = len(data.frames)
+    names = list(data.joints)
+    world_rot: dict = {}
+    world_pos: dict = {}
+    col_of = {}
+    for i, (j, c) in enumerate(data.channel_order):
+        col_of.setdefault(j, {})[c] = i
+
+    for name in names:
+        j = data.joints[name]
+        offset = np.asarray(j.offset)
+        chans = col_of.get(name, {})
+        rot_chans = [c for c in j.channels if c.endswith("rotation")]
+        if rot_chans:
+            order = "".join(c[0] for c in rot_chans)
+            deg = np.stack(
+                [data.frames[:, chans[c]] for c in rot_chans], axis=1
+            )
+            local_rot = euler_matrix(order, deg)
+        else:
+            local_rot = np.broadcast_to(np.eye(3), (t_total, 3, 3))
+        pos_chans = [c for c in j.channels if c.endswith("position")]
+        local_pos = np.broadcast_to(offset, (t_total, 3)).copy()
+        if pos_chans:
+            for c in pos_chans:
+                axis = "XYZ".index(c[0])
+                local_pos[:, axis] += data.frames[:, chans[c]]
+        if j.parent is None:
+            world_rot[name] = local_rot
+            world_pos[name] = local_pos
+        else:
+            pr, pp = world_rot[j.parent], world_pos[j.parent]
+            world_rot[name] = pr @ local_rot
+            world_pos[name] = pp + np.einsum("tij,tj->ti", pr, local_pos)
+
+    return np.stack([world_pos[n] for n in names], axis=1)
 
 
 _TOKEN = re.compile(r"\S+")

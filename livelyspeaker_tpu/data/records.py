@@ -117,14 +117,37 @@ class ShardedDataset:
         return {f: shard[f][li] for f in self.fields}
 
     def batch(self, indices: Sequence[int]) -> Dict[str, Any]:
-        rows = [self[int(i)] for i in indices]
+        """Assemble a batch. Array fields go through the native gather
+        (C++ memcpy loop, data/native.py) per shard; JSON fields stay
+        Python lists."""
+        from .native import gather_rows
+
+        idx = np.asarray(indices, np.int64)
+        si = np.searchsorted(self.offsets, idx, side="right") - 1
+        local = idx - self.offsets[si]
         out: Dict[str, Any] = {}
+        order = np.argsort(si, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+
         for f in self.fields:
-            vals = [r[f] for r in rows]
             if f in self.json_fields:
-                out[f] = vals
-            else:
-                out[f] = np.stack(vals)
+                out[f] = [self._shard(int(s))[f][int(l)]
+                          for s, l in zip(si, local)]
+                continue
+            chunks = []
+            pos = 0
+            while pos < len(order):
+                s = si[order[pos]]
+                end = pos
+                while end < len(order) and si[order[end]] == s:
+                    end += 1
+                rows = local[order[pos:end]]
+                arr = self._shard(int(s))[f]
+                chunks.append(gather_rows(arr, rows))
+                pos = end
+            stacked = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+            out[f] = stacked[inv]
         return out
 
     def iter_shards(self) -> Iterator[Dict[str, Any]]:

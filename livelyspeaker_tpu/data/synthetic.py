@@ -90,6 +90,37 @@ def synthetic_clips(
         }
 
 
+def build_synthetic_beat_records(
+    out_dir: str,
+    n_clips: int = 4,
+    clip_seconds: float = 16.0,
+    seed: int = 233,
+):
+    """Synthetic BEAT-like clips (smooth euler tracks, audio, per-frame
+    emotion/semantic labels) through the real BEAT record pipeline."""
+    from .beat import BeatConfig, build_beat_records
+
+    rng = np.random.default_rng(seed)
+    cfg = BeatConfig()
+    clips = []
+    for c in range(n_clips):
+        t = int(clip_seconds * cfg.pose_fps)
+        euler = 25.0 * _smooth_noise(rng, t, 141, cfg.pose_fps)
+        audio = (0.1 * rng.normal(size=int(clip_seconds * cfg.sr))).astype(
+            np.float32
+        )
+        clips.append(
+            {
+                "vid": int(cfg.speakers[c % len(cfg.speakers)]),
+                "euler141": euler.astype(np.float32),
+                "audio": audio,
+                "emo": rng.integers(0, 8, size=t),
+                "sem": rng.uniform(0, 1, size=t).astype(np.float32),
+            }
+        )
+    return build_beat_records(cfg, clips, out_dir)
+
+
 def build_synthetic_ted_records(
     out_dir: str,
     n_clips: int = 4,

@@ -93,6 +93,48 @@ def convert_pose_seq_to_dir_vec_np(pose: np.ndarray) -> np.ndarray:
     return (vec / np.maximum(norm, 1e-12)).astype(np.float32)
 
 
+def motion_fft_lowpass(vec_seq: np.ndarray, keep: int = 2) -> np.ndarray:
+    """Low-pass rhythm conditioning: keep only the first ``keep`` temporal
+    Fourier components (lmdb_data_loader.py:251-255 ``motion_fft``)."""
+    f = np.fft.rfft(vec_seq, axis=0)
+    f[keep:] = 0
+    return np.fft.irfft(f, n=vec_seq.shape[0], axis=0).astype(vec_seq.dtype)
+
+
+def motion_random_resample(
+    vec_seq: np.ndarray, rng: np.random.Generator, n_splits=(2, 4),
+    min_len: int = 3, max_len: int = 20,
+) -> np.ndarray:
+    """Random piecewise time-warp augmentation
+    (lmdb_data_loader.py:224-249 ``randomSplit`` + ``motion_cs``)."""
+    t = vec_seq.shape[0]
+    n = int(rng.integers(n_splits[0], n_splits[1] + 1))
+
+    def random_split(total):
+        res, m, k = [], total, n
+        while k > 0:
+            lo = max(min_len, m - (k - 1) * max_len)
+            hi = min(max_len, m - (k - 1) * min_len)
+            num = int(rng.integers(lo, hi + 1))
+            k -= 1
+            m -= num
+            res.append(num)
+        return res
+
+    src = random_split(t)
+    tgt = random_split(t)
+    cum = np.concatenate([[0], np.cumsum(src)])
+    pieces = []
+    for i in range(n):
+        seg = vec_seq[cum[i] : cum[i + 1]]
+        xi = np.linspace(0, len(seg) - 1, tgt[i])
+        idx0 = np.floor(xi).astype(int)
+        idx1 = np.minimum(idx0 + 1, len(seg) - 1)
+        w = (xi - idx0)[:, None]
+        pieces.append(seg[idx0] * (1 - w) + seg[idx1] * w)
+    return np.concatenate(pieces, axis=0).astype(vec_seq.dtype)
+
+
 class MotionFilter:
     """Window rejection rules (motion_preprocessor.py:4-87)."""
 

@@ -27,12 +27,15 @@ from .sampling import (
     sample_loop,
 )
 from .losses import (
+    calc_bpd_loop,
     discretized_gaussian_log_likelihood,
+    ema_update,
     huber,
     kld_from_mu_logvar,
     masked_l2,
     normal_kl,
     training_losses,
+    vb_terms_bpd,
 )
 from .resample import (
     LossSecondMomentState,

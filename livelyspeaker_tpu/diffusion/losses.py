@@ -100,6 +100,99 @@ def kld_from_mu_logvar(z_mu: jnp.ndarray, z_logvar: jnp.ndarray) -> jnp.ndarray:
     return -0.5 * jnp.mean(1 + z_logvar - z_mu**2 - jnp.exp(z_logvar))
 
 
+def vb_terms_bpd(
+    sched: DiffusionSchedule,
+    model_pred: jnp.ndarray,
+    x_start: jnp.ndarray,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    *,
+    mean_type: MeanType = MeanType.START_X,
+    clip_denoised: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Variational lower-bound term in bits/dim
+    (gaussian_diffusion.py:1213-1246): KL(q(x_{t-1}|x_t,x_0) || p) for t>0,
+    decoder NLL at t=0."""
+    from .sampling import p_mean_variance
+
+    true_mean, _, true_log_var = q_posterior_mean_variance(
+        sched, x_start, x_t, t
+    )
+    out = p_mean_variance(
+        sched, model_pred, x_t, t, mean_type=mean_type,
+        clip_denoised=clip_denoised,
+    )
+    kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
+    kl = mean_flat(kl) / jnp.log(2.0)
+    decoder_nll = -discretized_gaussian_log_likelihood(
+        x_start, means=out["mean"], log_scales=0.5 * out["log_variance"]
+    )
+    decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
+    output = jnp.where(t == 0, decoder_nll, kl)
+    return {"output": output, "pred_xstart": out["pred_xstart"]}
+
+
+def calc_bpd_loop(
+    denoise_fn,
+    sched: DiffusionSchedule,
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    mean_type: MeanType = MeanType.START_X,
+    clip_denoised: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Full-chain bits/dim evaluation (gaussian_diffusion.py:1591-1649) as a
+    single ``lax.scan``: per-timestep VB terms + MSE, prior bpd, total bpd.
+
+    ``denoise_fn(x_t, t_model, rng) -> model prediction``.
+    """
+    from .sampling import q_sample as _q_sample
+    from .sampling import q_mean_variance
+
+    b = x_start.shape[0]
+    n = sched.num_timesteps
+
+    def body(carry, t_scalar):
+        loop_rng, = carry
+        loop_rng, k1, k2 = jax.random.split(loop_rng, 3)
+        t = jnp.full((b,), t_scalar, jnp.int32)
+        noise = jax.random.normal(k1, x_start.shape, x_start.dtype)
+        x_t = _q_sample(sched, x_start, t, noise)
+        pred = denoise_fn(x_t, sched.map_timesteps(t), k2)
+        out = vb_terms_bpd(
+            sched, pred, x_start, x_t, t,
+            mean_type=mean_type, clip_denoised=clip_denoised,
+        )
+        mse = mean_flat((out["pred_xstart"] - x_start) ** 2)
+        return (loop_rng,), (out["output"], mse)
+
+    ts = jnp.arange(n - 1, -1, -1)
+    (_,), (vb, mse) = jax.lax.scan(body, (rng,), ts)
+
+    # prior bpd: KL(q(x_T | x_0) || N(0, I)) (gd.py:1567-1588)
+    t_last = jnp.full((b,), n - 1, jnp.int32)
+    qt_mean, _, qt_logvar = q_mean_variance(sched, x_start, t_last)
+    kl_prior = normal_kl(
+        qt_mean, qt_logvar, jnp.zeros_like(qt_mean), jnp.zeros_like(qt_logvar)
+    )
+    prior_bpd = mean_flat(kl_prior) / jnp.log(2.0)
+
+    total_bpd = vb.sum(axis=0) + prior_bpd
+    return {
+        "total_bpd": total_bpd,
+        "prior_bpd": prior_bpd,
+        "vb": vb.T,  # [B, T] (descending t)
+        "mse": mse.T,
+    }
+
+
+def ema_update(ema_params, new_params, decay: float = 0.9999):
+    """EMA of params (diffusion/nn.py:56-66 ``update_ema``), functional."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p * (1 - decay), ema_params, new_params
+    )
+
+
 def training_losses(
     model_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
     sched: DiffusionSchedule,

@@ -119,3 +119,15 @@ class EmbeddingSpaceEvaluator:
 
     def get_diversity_scores(self) -> float:
         return diversity_score(self.generated_feat_list)
+
+    def get_features_for_viz(self):
+        """2-D projection of generated vs real features for plotting
+        (ted_evaluator.py:48-57; PCA instead of the reference's UMAP, which
+        isn't available here — same downstream usage)."""
+        from sklearn.decomposition import PCA
+
+        gen = np.vstack(self.generated_feat_list)
+        real = np.vstack(self.real_feat_list)
+        both = PCA(n_components=2).fit_transform(np.vstack([gen, real]))
+        n = len(gen)
+        return both[n:], both[:n]

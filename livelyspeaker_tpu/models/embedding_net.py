@@ -49,24 +49,33 @@ class PoseEmbeddingEncoder(nn.Module):
     n_frames: int = 34
     base: int = 32
     hidden_mults: Tuple[int, int] = (8, 4)  # TED; BEAT uses (4, 2)
+    # False: frozen-stat BN as plain params (checkpoint-conversion layout,
+    # inference fixtures). True: real flax BatchNorm with batch_stats (for
+    # training your own evaluation fixture via GestureAutoencoder).
+    trainable_bn: bool = False
 
     @nn.compact
-    def __call__(self, poses: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, poses: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = poses  # NWC: [B, T, D]; torch runs NCW with D as channels
 
-        def bn_params(name, feat):
-            return {
+        def bn(x, name, feat):
+            if self.trainable_bn:
+                return nn.BatchNorm(
+                    use_running_average=not train, name=f"{name}_bn"
+                )(x)
+            p = {
                 "mean": self.param(f"{name}_bn_mean", nn.initializers.zeros, (feat,)),
                 "var": self.param(f"{name}_bn_var", nn.initializers.ones, (feat,)),
                 "scale": self.param(f"{name}_bn_scale", nn.initializers.ones, (feat,)),
                 "bias": self.param(f"{name}_bn_bias", nn.initializers.zeros, (feat,)),
             }
+            return _frozen_bn(x, p)
 
         def conv_bn_lrelu(x, feat, ksize, stride, name):
             x = nn.Conv(
                 feat, (ksize,), strides=(stride,), padding="VALID", name=name
             )(x)
-            x = _frozen_bn(x, bn_params(name, feat))
+            x = bn(x, name, feat)
             return nn.leaky_relu(x, 0.2)
 
         b = self.base
@@ -80,11 +89,75 @@ class PoseEmbeddingEncoder(nn.Module):
 
         h0, h1 = b * self.hidden_mults[0], b * self.hidden_mults[1]
         x = nn.Dense(h0, name="fc0")(x)
-        x = _frozen_bn(x, bn_params("fc0", h0))  # LeakyReLU(True) == identity
+        x = bn(x, "fc0", h0)  # LeakyReLU(True) == identity, skipped
         x = nn.Dense(h1, name="fc1")(x)
-        x = _frozen_bn(x, bn_params("fc1", h1))
+        x = bn(x, "fc1", h1)
         x = nn.Dense(b, name="fc2")(x)
         return nn.Dense(b, name="fc_mu")(x)
+
+
+class PoseEmbeddingDecoder(nn.Module):
+    """latent [B, base] -> poses [B, T, D] (PoseDecoderConv,
+    embedding_net.py:164-216 / motion_autoencoder.py:76-131).  Used when
+    training a gesture autoencoder as an FGD/FID fixture; BatchNorm here is
+    trainable (use_running_average toggled by ``train``)."""
+
+    pose_dim: int = 27
+    n_frames: int = 34
+    base: int = 32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        b = self.base
+        # pre_net (34-frame branch): Linear -> BN -> (identity) -> Linear
+        decoder_size = max(b // 8, 4)
+        h = nn.Dense(b * 2, name="pre0")(feat)
+        h = nn.BatchNorm(use_running_average=not train, name="pre_bn")(h)
+        h = nn.Dense(decoder_size * self.n_frames, name="pre1")(h)
+        h = h.reshape(feat.shape[0], -1, decoder_size)  # NWC [B, T', dsize]
+
+        def convt(x, feats, name):
+            return nn.ConvTranspose(feats, (3,), padding="VALID", name=name)(x)
+
+        h = convt(h, b, "deconv0")
+        h = nn.BatchNorm(use_running_average=not train, name="bn0")(h)
+        h = nn.leaky_relu(h, 0.2)
+        h = convt(h, b, "deconv1")
+        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = nn.leaky_relu(h, 0.2)
+        h = nn.Conv(b * 2, (3,), padding="VALID", name="conv0")(h)
+        h = nn.Conv(self.pose_dim, (3,), padding="VALID", name="conv1")(h)
+        return h
+
+
+class GestureAutoencoder(nn.Module):
+    """Trainable gesture autoencoder (EmbeddingNet, embedding_net.py:261-275)
+    for producing FGD/FID evaluation fixtures from scratch."""
+
+    pose_dim: int = 27
+    n_frames: int = 34
+    base: int = 32
+    hidden_mults: Tuple[int, int] = (8, 4)
+
+    def setup(self):
+        self.encoder = PoseEmbeddingEncoder(
+            pose_dim=self.pose_dim,
+            n_frames=self.n_frames,
+            base=self.base,
+            hidden_mults=self.hidden_mults,
+            trainable_bn=True,
+        )
+        self.decoder = PoseEmbeddingDecoder(
+            pose_dim=self.pose_dim, n_frames=self.n_frames, base=self.base
+        )
+
+    def __call__(self, poses, *, train: bool = False):
+        feat = self.encoder(poses, train=train)
+        recon = self.decoder(feat, train=train)
+        return feat, recon
+
+    def embed(self, poses):
+        return self.encoder(poses)
 
 
 class TedEmbeddingEncoder(PoseEmbeddingEncoder):

@@ -126,7 +126,7 @@ def fused_transmlp(
     emb: jnp.ndarray,  # [B, D] (or [B, 1, D])
     packed: Dict,
     act_name: str = "silu",
-    batch_tile: int = 16,
+    batch_tile: int = 8,
 ) -> jnp.ndarray:
     """Run the full mixer stack. Matches TransMLP.__call__ output exactly."""
     act = {"silu": jax.nn.silu, "relu": jax.nn.relu,

@@ -45,10 +45,12 @@ class RAGSampler:
         schedule: str = "cosine",
         timestep_respacing: Optional[str] = "ddim100",
         method: str = "ddim",
+        use_fused: bool = False,
     ):
         self.model = model
         self.params = params
         self.method = method
+        self.use_fused = use_fused
         self.sched = DiffusionSchedule.create(
             steps=steps, schedule=schedule, timestep_respacing=timestep_respacing
         )
@@ -61,7 +63,14 @@ class RAGSampler:
         def fn(params, cond, guidance, rng, init_image, inpaint_mask,
                inpaint_motion):
             b = cond["vid"].shape[0]
-            denoise = make_cfg_denoiser(self.model, params, cond, guidance)
+            if self.use_fused:
+                from .models.fast_rag import make_fused_cfg_denoiser
+
+                denoise = make_fused_cfg_denoiser(
+                    self.model, params, cond, guidance
+                )
+            else:
+                denoise = make_cfg_denoiser(self.model, params, cond, guidance)
             inpainting = (
                 Inpainting(inpaint_mask, inpaint_motion, noised_inpaint)
                 if with_inpaint

@@ -141,6 +141,32 @@ class TensorboardPlatform(TrainPlatform):
         self.writer.close()
 
 
+class ClearmlPlatform(TrainPlatform):
+    """ClearML reporting backend (train_platforms.py:17-28); lazily imports
+    the optional dependency."""
+
+    def __init__(self, save_dir: str):
+        super().__init__(save_dir)
+        from clearml import Task  # optional dep
+
+        name = os.path.basename(save_dir)
+        self.task = Task.init(
+            project_name="livelyspeaker_tpu", task_name=name
+        )
+        self.logger = self.task.get_logger()
+
+    def report_scalar(self, name, value, iteration, group_name=None):
+        self.logger.report_scalar(
+            title=group_name, series=name, iteration=iteration, value=value
+        )
+
+    def report_args(self, args, name):
+        self.task.connect(args, name=name)
+
+    def close(self):
+        self.task.close()
+
+
 class NoPlatform(TrainPlatform):
     pass
 

@@ -43,6 +43,7 @@ class TrainConfig:
         kld_weight: float = 0.01,  # train_loop.py:182 (BEAT uses 0.0, :246)
         grad_clip: float = 0.0,
         schedule_sampler: str = "uniform",
+        compute_dtype: str = "float32",
     ):
         self.lr = lr
         self.weight_decay = weight_decay
@@ -52,6 +53,10 @@ class TrainConfig:
         self.kld_weight = kld_weight
         self.grad_clip = grad_clip
         self.schedule_sampler = schedule_sampler
+        # TPU-native mixed precision: bf16 compute against f32 master params
+        # (replaces the reference's fp16 MixedPrecisionTrainer + dynamic loss
+        # scaling, fp16_util.py:148-232 — bf16 needs no loss scaling).
+        self.compute_dtype = compute_dtype
 
 
 @struct.dataclass
@@ -94,6 +99,8 @@ def make_train_step(
             'mask'?: [B,T], 'emo'?: [B]}
     """
 
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
     def loss_fn(params, batch, t, weights, rng):
         rng_noise, rng_style, rng_mask = jax.random.split(rng, 3)
         cond = {
@@ -103,16 +110,28 @@ def make_train_step(
         }
         if "emo" in batch:
             cond["emo"] = batch["emo"]
+        if compute_dtype != jnp.float32:
+            # bf16 compute, f32 master params; the cast is differentiable so
+            # gradients come back f32.
+            apply_params = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if p.dtype == jnp.float32
+                else p,
+                params,
+            )
+        else:
+            apply_params = params
 
         def model_fn(x_t, t_model):
-            return model.apply(
-                {"params": params},
-                x_t,
+            out = model.apply(
+                {"params": apply_params},
+                x_t.astype(compute_dtype),
                 t_model,
                 cond,
                 train=True,
                 rngs={"style": rng_style, "cond_mask": rng_mask},
             )
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
 
         terms = training_losses(
             model_fn,
@@ -137,13 +156,35 @@ def make_train_step(
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, t, weights, rng_loss
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        # NaN guard: skip the update on a non-finite step (the functional
+        # analogue of the reference's fp16 overflow backoff,
+        # fp16_util.py:193-198); with bf16 this should never fire, but a
+        # skipped step beats a poisoned optimizer state.
+        grads_finite = jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+            )
+        )
+        updates, opt_candidate = tx.update(grads, state.opt_state, state.params)
+        params_candidate = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(grads_finite, new, old),
+            params_candidate,
+            state.params,
+        )
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(grads_finite, new, old)
+            if hasattr(new, "dtype")
+            else new,
+            opt_candidate,
+            state.opt_state,
+        )
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
             "param_norm": optax.global_norm(state.params),
             "t_mean": jnp.mean(t.astype(jnp.float32)),
+            "skipped_nonfinite": 1.0 - grads_finite.astype(jnp.float32),
         }
         for k in ("rot_mse", "vel_mse", "kld"):
             if k in terms:

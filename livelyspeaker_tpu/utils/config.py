@@ -95,15 +95,47 @@ def add_all_groups(p: argparse.ArgumentParser, training: bool):
         add_sampling_options(p)
 
 
+def _apply_yaml_defaults(
+    p: argparse.ArgumentParser, argv: Optional[Sequence[str]]
+) -> Optional[Sequence[str]]:
+    """BEAT-style YAML config layer (scripts_beat parser_util.py:231-238:
+    ``-c configs/beat.yaml`` sets defaults, CLI flags override)."""
+    import sys
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    cfg_path = None
+    for flag in ("-c", "--config"):
+        if flag in argv:
+            i = argv.index(flag)
+            cfg_path = argv[i + 1]
+            del argv[i : i + 2]
+    if cfg_path:
+        try:
+            import yaml
+
+            with open(cfg_path) as f:
+                loaded = yaml.safe_load(f) or {}
+        except ImportError:
+            import json
+
+            with open(cfg_path) as f:
+                loaded = json.load(f)
+        known = {a.dest for a in p._actions}
+        p.set_defaults(**{k: v for k, v in loaded.items() if k in known})
+    return argv
+
+
 def train_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p = argparse.ArgumentParser()
     add_all_groups(p, training=True)
+    argv = _apply_yaml_defaults(p, argv)
     return p.parse_args(argv)
 
 
 def generate_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p = argparse.ArgumentParser()
     add_all_groups(p, training=False)
+    argv = _apply_yaml_defaults(p, argv)
     args = p.parse_args(argv)
     return apply_saved_args(args, p)
 

@@ -14,7 +14,10 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["rag_params_from_torch_state_dict"]
+__all__ = [
+    "rag_params_from_torch_state_dict",
+    "sag_params_from_torch_state_dict",
+]
 
 
 def _t(a) -> np.ndarray:
@@ -82,3 +85,66 @@ def rag_params_from_torch_state_dict(
         backbone[f"block_{i}"] = blk
     p["backbone"] = backbone
     return p
+
+
+def _attn(sd, prefix) -> Dict:
+    """torch nn.MultiheadAttention -> our MultiHeadAttention params."""
+    return {
+        "in_proj_weight": _t(sd[f"{prefix}.in_proj_weight"]),
+        "in_proj_bias": _t(sd[f"{prefix}.in_proj_bias"]),
+        "out_proj": {
+            "kernel": _t(sd[f"{prefix}.out_proj.weight"]).T,
+            "bias": _t(sd[f"{prefix}.out_proj.bias"]),
+        },
+    }
+
+
+def _ln(sd, prefix) -> Dict:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _dense(sd, prefix) -> Dict:
+    return {"kernel": _t(sd[f"{prefix}.weight"]).T, "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def sag_params_from_torch_state_dict(
+    sd: Dict, num_layers: int = 3
+) -> Dict:
+    """Map a released SAG (MotionCLIP) state_dict (ckpts/TED/SAG.pth,
+    module tree of scripts/model/motionclip_module.py) onto our
+    :class:`livelyspeaker_tpu.models.sag.SAG` params."""
+    enc_layers = {}
+    for i in range(num_layers):
+        pre = f"encoder.seqTransEncoder.layers.{i}"
+        enc_layers[f"layer_{i}"] = {
+            "self_attn": _attn(sd, f"{pre}.self_attn"),
+            "linear1": _dense(sd, f"{pre}.linear1"),
+            "linear2": _dense(sd, f"{pre}.linear2"),
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+        }
+    dec_layers = {}
+    for i in range(num_layers):
+        pre = f"decoder.seqTransDecoder.layers.{i}"
+        dec_layers[f"layer_{i}"] = {
+            "self_attn": _attn(sd, f"{pre}.self_attn"),
+            "multihead_attn": _attn(sd, f"{pre}.multihead_attn"),
+            "linear1": _dense(sd, f"{pre}.linear1"),
+            "linear2": _dense(sd, f"{pre}.linear2"),
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+            "norm3": _ln(sd, f"{pre}.norm3"),
+        }
+    return {
+        "encoder": {
+            "mu_query": _t(sd["encoder.muQuery"]),
+            "sigma_query": _t(sd["encoder.sigmaQuery"]),
+            "skel_embedding": _dense(sd, "encoder.skelEmbedding"),
+            "encoder": enc_layers,
+        },
+        "decoder": {
+            "mapping": _dense(sd, "decoder.mapping"),
+            "final_layer": _dense(sd, "decoder.finallayer"),
+            "decoder": dec_layers,
+        },
+    }

@@ -19,6 +19,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
+_jax_setup()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

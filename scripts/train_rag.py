@@ -17,6 +17,9 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
+_jax_setup()
+
 import jax
 import numpy as np
 
@@ -42,9 +45,20 @@ def main():
             build_synthetic_ted_records(data_dir, n_clips=8, clip_seconds=20)
         args.data_dir = data_dir
 
-    dataset = TedWindowDataset(args.data_dir)
-    n_speakers = max(args.n_speakers, dataset.speaker_model.n_words
-                     if dataset.speaker_model else 0)
+    if args.dataset == "beat":
+        from livelyspeaker_tpu.data.beat import BeatWindowDataset
+
+        # BEAT config defaults (scripts_beat: njoints 47, rot6d, 8 emotions)
+        dataset = BeatWindowDataset(args.data_dir)
+        args.njoints = dataset.cfg.njoints
+        args.nfeats = 6
+        if args.num_emotions == 0:
+            args.num_emotions = 8
+        n_speakers = max(args.n_speakers, 30)
+    else:
+        dataset = TedWindowDataset(args.data_dir)
+        n_speakers = max(args.n_speakers, dataset.speaker_model.n_words
+                         if dataset.speaker_model else 0)
 
     mesh = create_mesh()  # all available devices, pure DP by default
     loader = DataLoader(
@@ -73,17 +87,19 @@ def main():
     )
 
     sample = dataset[0]
-    init_batch = {
-        k: np.asarray(sample[k])[None] for k in ("motion", "audio", "vid")
-    }
+    keys = ("motion", "audio", "vid") + (("emo",) if "emo" in sample else ())
+    init_batch = {k: np.asarray(sample[k])[None] for k in keys}
+    init_cond = {"audio": init_batch["audio"], "vid": init_batch["vid"],
+                 "origin_x": init_batch["motion"]}
+    if "emo" in init_batch:
+        init_cond["emo"] = init_batch["emo"]
     params = model.init(
         {"params": jax.random.PRNGKey(args.seed),
          "style": jax.random.PRNGKey(args.seed + 1),
          "cond_mask": jax.random.PRNGKey(args.seed + 2)},
         init_batch["motion"],
         np.zeros((1,), np.int32),
-        {"audio": init_batch["audio"], "vid": init_batch["vid"],
-         "origin_x": init_batch["motion"]},
+        init_cond,
         train=True,
     )["params"]
     params = shard_params(params, mesh)

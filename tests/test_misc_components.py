@@ -1,0 +1,107 @@
+"""Tests for the long-tail components: calc_bpd_loop, EMA, YAML config,
+BVH FK, AverageMeter, motion augmentation utils."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from livelyspeaker_tpu.diffusion import (
+    DiffusionSchedule,
+    calc_bpd_loop,
+    ema_update,
+)
+from livelyspeaker_tpu.data.bvh import bvh_world_positions, parse_bvh
+from livelyspeaker_tpu.data.ted import motion_fft_lowpass, motion_random_resample
+from livelyspeaker_tpu.utils import AverageMeter
+from livelyspeaker_tpu.utils.config import train_args
+from tests.test_beat_pipeline import SIMPLE_BVH
+
+
+def test_calc_bpd_loop_perfect_model():
+    sched = DiffusionSchedule.create(steps=10)
+    x0 = jnp.full((2, 3, 2, 4), 0.1)
+
+    def denoise_fn(x_t, t, rng):
+        return jnp.broadcast_to(x0, x_t.shape)
+
+    out = calc_bpd_loop(denoise_fn, sched, x0, jax.random.PRNGKey(0))
+    assert out["total_bpd"].shape == (2,)
+    assert out["vb"].shape == (2, 10)
+    assert np.isfinite(np.asarray(out["total_bpd"])).all()
+    # perfect x0 prediction -> zero pred MSE at every step
+    np.testing.assert_allclose(np.asarray(out["mse"]), 0.0, atol=1e-6)
+
+
+def test_ema_update():
+    ema = {"w": jnp.zeros(3)}
+    new = {"w": jnp.ones(3)}
+    out = ema_update(ema, new, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+
+def test_yaml_config_layer(tmp_path):
+    cfg = tmp_path / "exp.yaml"
+    cfg.write_text("latent_dim: 128\nlayers: 3\nnot_a_flag: 7\n")
+    args = train_args(["-c", str(cfg), "--layers", "5"])
+    assert args.latent_dim == 128  # from yaml
+    assert args.layers == 5  # CLI overrides yaml
+    assert not hasattr(args, "not_a_flag")
+
+
+def test_bvh_world_positions():
+    b = parse_bvh(SIMPLE_BVH)
+    pos = bvh_world_positions(b)
+    # 4 frames, 4 joints (Hips, Spine, Neck, EndSite)
+    assert pos.shape == (4, 4, 3)
+    # root at origin (zero position channels)
+    np.testing.assert_allclose(pos[:, 0], 0.0, atol=1e-9)
+    # bone lengths preserved under rotation: |Neck - Spine| == 12
+    d = np.linalg.norm(pos[:, 2] - pos[:, 1], axis=-1)
+    np.testing.assert_allclose(d, 12.0, rtol=1e-6)
+
+
+def test_average_meter():
+    m = AverageMeter("x")
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0 and m.val == 3.0
+
+
+def test_motion_fft_lowpass(rng_np):
+    x = rng_np.normal(size=(34, 27)).astype(np.float32)
+    y = motion_fft_lowpass(x, keep=2)
+    assert y.shape == x.shape
+    # result has only DC + 1 frequency -> second difference of a sinusoid
+    # has much lower energy than the original noise
+    assert np.var(np.diff(y, axis=0)) < np.var(np.diff(x, axis=0))
+
+
+def test_motion_random_resample(rng_np):
+    x = rng_np.normal(size=(34, 27)).astype(np.float32)
+    y = motion_random_resample(x, np.random.default_rng(0))
+    assert y.shape == x.shape
+    assert not np.allclose(y, x)
+
+
+def test_gesture_autoencoder_shapes(rng_np):
+    import jax
+
+    from livelyspeaker_tpu.models.embedding_net import GestureAutoencoder
+
+    model = GestureAutoencoder(pose_dim=27, n_frames=34, base=32)
+    poses = jnp.asarray(rng_np.normal(size=(3, 34, 27)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), poses, train=True)
+    (feat, recon), updates = model.apply(
+        variables, poses, train=True, mutable=["batch_stats"]
+    )
+    assert feat.shape == (3, 32)
+    assert recon.shape == (3, 34, 27)
+    # eval mode with running stats
+    feat2 = model.apply(
+        {"params": variables["params"],
+         "batch_stats": updates["batch_stats"]},
+        poses,
+        method=model.embed,
+    )
+    assert feat2.shape == (3, 32)

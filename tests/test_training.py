@@ -1,0 +1,143 @@
+"""Training harness tests: loss decreases, bf16 mixed precision, LR anneal,
+loss-aware sampler, checkpoint npz round-trip, KV logger."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from livelyspeaker_tpu.diffusion import (
+    DiffusionSchedule,
+    LossSecondMomentState,
+    loss_aware_sample_t,
+    loss_aware_update,
+)
+from livelyspeaker_tpu.models import RAG, RAGConfig, audio_samples_for_frames
+from livelyspeaker_tpu.training import (
+    TrainConfig,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from livelyspeaker_tpu.training.checkpoints import (
+    load_params_npz,
+    save_params_npz,
+)
+from livelyspeaker_tpu.training.logging import KVLogger, log_loss_quartiles
+
+B = 4
+
+
+def _setup(rng_np, **tc_kw):
+    cfg = RAGConfig.ted(latent_dim=64, num_layers=2)
+    model = RAG(cfg)
+    batch = {
+        "motion": jnp.asarray(
+            rng_np.normal(size=(B, 9, 3, 34)).astype(np.float32) * 0.3
+        ),
+        "audio": jnp.asarray(
+            rng_np.normal(size=(B, audio_samples_for_frames(34))).astype(
+                np.float32
+            )
+        ),
+        "vid": jnp.asarray(rng_np.integers(0, 1400, size=(B,))),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1),
+         "cond_mask": jax.random.PRNGKey(2)},
+        batch["motion"],
+        jnp.zeros((B,), jnp.int32),
+        {"audio": batch["audio"], "vid": batch["vid"],
+         "origin_x": batch["motion"]},
+        train=True,
+    )["params"]
+    sched = DiffusionSchedule.create(steps=20)
+    tcfg = TrainConfig(lr=1e-3, **tc_kw)
+    tx = make_optimizer(tcfg)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_train_step(model, sched, tx, tcfg))
+    return state, step, batch
+
+
+def test_loss_decreases(rng_np):
+    state, step, batch = _setup(rng_np)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(12):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, batch, k)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_bf16_training_step(rng_np):
+    state, step, batch = _setup(rng_np, compute_dtype="bfloat16")
+    state2, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # master params stay f32
+    leaf = jax.tree.leaves(state2.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_lr_anneal_reaches_zero(rng_np):
+    tcfg = TrainConfig(lr=1e-3, lr_anneal_steps=10)
+    tx = make_optimizer(tcfg)
+    # at step >= anneal_steps, the schedule is 0
+    sched_fn = tx  # optax transform; check via the schedule directly
+    from livelyspeaker_tpu.training.trainer import make_optimizer as mo
+
+    # directly inspect: apply many updates and check params stop moving
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    for i in range(12):
+        updates, state = tx.update(g, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    p10 = params["w"].copy()
+    updates, state = tx.update(g, state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(p10), atol=1e-7)
+
+
+def test_loss_aware_sampler_converges():
+    state = LossSecondMomentState.create(num_timesteps=10, history_per_term=2)
+    rng = jax.random.PRNGKey(0)
+    # feed losses that are 10x larger for t<5
+    for i in range(30):
+        rng, k = jax.random.split(rng)
+        t, w = loss_aware_sample_t(state, k, 8)
+        losses = jnp.where(t < 5, 10.0, 1.0)
+        state = loss_aware_update(state, t, losses)
+    warmed_w = state.weights()
+    assert float(warmed_w[:5].mean()) > float(warmed_w[5:].mean())
+    # importance weights compensate: mean weight for oversampled t is < 1
+    t, w = loss_aware_sample_t(state, jax.random.PRNGKey(9), 512)
+    assert (np.asarray(t) < 5).mean() > 0.6
+
+
+def test_params_npz_roundtrip(tmp_path, rng_np):
+    params = {
+        "a": {"kernel": rng_np.normal(size=(3, 4)).astype(np.float32)},
+        "b": {"c": {"bias": np.zeros(7, np.float32)}},
+    }
+    p = str(tmp_path / "p.npz")
+    save_params_npz(p, params)
+    back = load_params_npz(p)
+    np.testing.assert_array_equal(back["a"]["kernel"], params["a"]["kernel"])
+    np.testing.assert_array_equal(back["b"]["c"]["bias"], params["b"]["c"]["bias"])
+
+
+def test_kv_logger_mean_and_quartiles(tmp_path):
+    lg = KVLogger(str(tmp_path), formats=("json",))
+    lg.logkv_mean("x", 1.0)
+    lg.logkv_mean("x", 3.0)
+    out = lg.dumpkvs()
+    assert out["x"] == 2.0
+    t = np.array([0, 5, 10, 19])
+    losses = {"loss": np.array([1.0, 2.0, 3.0, 4.0])}
+    log_loss_quartiles(lg, t, losses, num_timesteps=20)
+    out = lg.dumpkvs()
+    assert out["loss_q0"] == 1.0  # t=0 -> quartile 0
+    assert out["loss_q1"] == 2.0  # t=5 -> quartile 1
+    assert out["loss_q3"] == 4.0
+    lg.close()
