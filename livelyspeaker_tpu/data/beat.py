@@ -198,7 +198,7 @@ def build_beat_records(
                 euler.reshape(cfg.pose_length, cfg.njoints, 3),
                 cfg.rotation_order,
             ).reshape(cfg.pose_length, cfg.rot6d_dims)
-            writer.add(
+            fields = dict(
                 pose=((euler - mean) / std).astype(np.float32),
                 rot6d=rot6d.astype(np.float32),
                 audio=w["audio"],
@@ -207,6 +207,9 @@ def build_beat_records(
                 emo=w.get("emo", np.zeros(cfg.pose_length, np.int32)),
                 sem=w.get("sem", np.zeros(cfg.pose_length, np.float32)),
             )
+            if "facial" in w:  # 52 blendshape weights (beat.py facial track)
+                fields["facial"] = w["facial"]
+            writer.add(**fields)
             n += 1
     writer.finish(
         extra_meta={

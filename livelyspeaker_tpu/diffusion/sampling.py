@@ -38,6 +38,8 @@ __all__ = [
     "predict_xstart_from_xprev",
     "p_mean_variance",
     "Inpainting",
+    "condition_mean",
+    "condition_score",
     "sample_loop",
 ]
 
@@ -204,6 +206,28 @@ def p_mean_variance(
     }
 
 
+def condition_mean(sched, cond_fn, out, x, t):
+    """Sohl-Dickstein-style classifier guidance on the posterior mean
+    (gaussian_diffusion.py:429-442): mean + variance * grad log p(y|x)."""
+    gradient = cond_fn(x, t)
+    return out["mean"] + out["variance"] * gradient
+
+
+def condition_score(sched, cond_fn, out, x, t):
+    """Song et al. score-based conditioning (gaussian_diffusion.py:459-481):
+    shift eps by -sqrt(1-acp) * grad, recompute x0 and the posterior mean."""
+    nd = x.ndim
+    alpha_bar = extract(sched.alphas_cumprod, t, nd)
+    eps = predict_eps_from_xstart(sched, x, t, out["pred_xstart"])
+    eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(x, t)
+    new = dict(out)
+    new["pred_xstart"] = predict_xstart_from_eps(sched, x, t, eps)
+    new["mean"], _, _ = q_posterior_mean_variance(
+        sched, new["pred_xstart"], x, t
+    )
+    return new
+
+
 def _nonzero_mask(t, ndim):
     return (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (ndim - 1))
 
@@ -266,6 +290,7 @@ def sample_loop(
     init_image: Optional[jnp.ndarray] = None,
     noise: Optional[jnp.ndarray] = None,
     inpainting: Optional[Inpainting] = None,
+    cond_fn: Optional[Callable] = None,
     const_noise: bool = False,
     return_pred_xstart: bool = False,
     dtype=jnp.float32,
@@ -320,6 +345,13 @@ def sample_loop(
             clip_denoised=clip_denoised,
             denoised_fn=denoised_fn,
         )
+        if cond_fn is not None:
+            # DDPM uses the mean shift (gd.py:550-553); DDIM/PLMS use the
+            # score form (gd.py:770-771, :1048-1053).
+            if method == "ddpm":
+                out = dict(out, mean=condition_mean(sched, cond_fn, out, x, t))
+            else:
+                out = condition_score(sched, cond_fn, out, x, t)
         return out, t
 
     indices = jnp.arange(n_steps - 1, -1, -1, dtype=jnp.int32)

@@ -452,3 +452,89 @@ def test_plms_full_loop_matches_reference(rng_np):
         )
     )
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_classifier_guidance_shifts_samples():
+    """cond_fn pulling toward +1 must shift DDPM and DDIM outputs upward
+    (condition_mean / condition_score, gd.py:429-505)."""
+    sched = DiffusionSchedule.create(steps=30, schedule="cosine")
+
+    def fn(x, t, rng):  # x-dependent so guidance shifts propagate
+        return jnp.tanh(x) * 0.5
+
+    def cond_fn(x, t):
+        return jnp.ones_like(x) * 2.0  # grad log p(y|x) pointing up
+
+    for method in ("ddpm", "ddim"):
+        base = sample_loop(
+            fn, sched, (4, 2, 2, 4), jax.random.PRNGKey(0), method=method
+        )
+        guided = sample_loop(
+            fn, sched, (4, 2, 2, 4), jax.random.PRNGKey(0), method=method,
+            cond_fn=cond_fn,
+        )
+        assert float(jnp.mean(guided)) > float(jnp.mean(base)) + 0.05, method
+
+
+@requires_reference
+def test_ddim_cond_fn_matches_reference(rng_np):
+    """DDIM with classifier guidance (condition_score) against the reference."""
+    import torch
+
+    sys.path.insert(0, f"{REFERENCE_ROOT}/scripts")
+    import importlib
+
+    gd = importlib.import_module("diffusion.gaussian_diffusion")
+    respace = importlib.import_module("diffusion.respace")
+    betas = gd.get_named_beta_schedule("cosine", 100, 1.0)
+    ref = respace.SpacedDiffusion(
+        use_timesteps=sorted(respace.space_timesteps(100, "ddim10")),
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.START_X,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.HUBER,
+        rescale_timesteps=False,
+    )
+    ours = DiffusionSchedule.create(
+        steps=100, schedule="cosine", timestep_respacing="ddim10"
+    )
+    shape = (2, 3, 2, 5)
+    x_init = rng_np.normal(size=shape).astype(np.float32)
+
+    def our_fn(x, t_model, rng):
+        return jnp.tanh(x) * 0.5
+
+    def our_cond(x, t):
+        return 0.3 * jnp.sign(x)
+
+    class RefModel:
+        def __call__(self, x, t, y=None):
+            return torch.tanh(x) * 0.5
+
+        def parameters(self):
+            return iter([torch.zeros(1)])
+
+    def ref_cond(x, t, y=None):
+        return 0.3 * torch.sign(x)
+
+    ref_out = ref.ddim_sample_loop(
+        RefModel(),
+        shape,
+        noise=torch.from_numpy(x_init),
+        clip_denoised=False,
+        model_kwargs={"y": {}},
+        cond_fn=ref_cond,
+        eta=0.0,
+    ).numpy()
+    our_out = np.asarray(
+        sample_loop(
+            our_fn,
+            ours,
+            shape,
+            jax.random.PRNGKey(0),
+            method="ddim",
+            noise=jnp.asarray(x_init),
+            cond_fn=our_cond,
+        )
+    )
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-4)
