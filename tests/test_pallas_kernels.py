@@ -51,3 +51,24 @@ def test_fused_transmlp_ragged_batch(rng_np):
     with pltpu.force_tpu_interpret_mode():
         out = fused_transmlp(x, emb, packed, batch_tile=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_transmlp_bf16_parity(rng_np):
+    """bf16 weights/activations stay within bf16 tolerance of f32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = TransMLP(seq_len=35, num_layers=2, dim=128)
+    x = jnp.asarray(rng_np.normal(size=(4, 35, 128)).astype(np.float32))
+    t = jnp.asarray([0, 10, 500, 999])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    ref = model.apply({"params": params}, x, t)
+    emb = TimestepEmbedder(128).apply({"params": params["embed_timestep"]}, t)
+    packed16 = pack_transmlp_params(params, 2, dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_transmlp(
+            x.astype(jnp.bfloat16), emb.astype(jnp.bfloat16), packed16,
+            batch_tile=16,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.05, rtol=0.05
+    )
