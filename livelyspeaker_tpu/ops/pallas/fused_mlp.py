@@ -88,6 +88,8 @@ def pack_transmlp_params(
 
 
 def _ln(x, scale, bias, eps=1e-5):
+    # two-pass variance: the one-pass E[x^2]-E[x]^2 form measured identical
+    # speed here (Mosaic fuses the sweeps) with worse cancellation error
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
