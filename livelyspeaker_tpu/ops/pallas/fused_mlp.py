@@ -176,9 +176,20 @@ def fused_transmlp(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     l = num_layers
+    # weights + in/out tiles + live temporaries; v5e has 128 MB physical
+    # VMEM, the compiler's default 16 MB scoped budget is just conservative
+    wbytes = sum(
+        int(np.prod(packed[k].shape)) * packed[k].dtype.itemsize
+        for k in packed
+    )
+    tile_bytes = s_pad * tb * d * x.dtype.itemsize
+    vmem_limit = min(int(wbytes + 10 * tile_bytes) + (1 << 20), 100 << 20)
     out = pl.pallas_call(
         functools.partial(_kernel, num_layers=num_layers, act=act),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
         in_specs=[
             pl.BlockSpec(
                 (s_pad, tb, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM
