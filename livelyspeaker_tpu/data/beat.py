@@ -133,9 +133,12 @@ def sample_windows_from_beat_clip(
     emotion: Optional[np.ndarray] = None,  # [T] per-frame emotion labels
     semantic: Optional[np.ndarray] = None,  # [T] per-frame semantic scores
     facial: Optional[np.ndarray] = None,  # [T, 52] blendshape weights
+    words: Optional[Sequence] = None,  # timed [word, start_s, end_s] triples
 ) -> Iterable[Dict]:
     """Slide pose_length windows at the configured stride
-    (beat.py:_sample_from_clip :330-485)."""
+    (beat.py:_sample_from_clip :330-485); per-window sentences reconstructed
+    from timed words for the SAG composition (beat.py:548-568 rebuilds them
+    from word ids)."""
     t_total = len(euler141)
     n = cfg.pose_length
     num = math.floor((t_total - n) / cfg.stride) + 1
@@ -161,6 +164,11 @@ def sample_windows_from_beat_clip(
             win["sem"] = semantic[s:e].astype(np.float32)
         if facial is not None:
             win["facial"] = facial[s:e].astype(np.float32)
+        if words is not None:
+            ws_t, we_t = s / cfg.pose_fps, e / cfg.pose_fps
+            win["sentence"] = " ".join(
+                w[0] for w in words if w[1] < we_t and w[2] > ws_t
+            )
         yield win
 
 
@@ -192,6 +200,7 @@ def build_beat_records(
             clip.get("emo"),
             clip.get("sem"),
             clip.get("facial"),
+            clip.get("words"),
         ):
             euler = w["euler"]
             rot6d = euler_deg_to_rot6d(
@@ -209,6 +218,8 @@ def build_beat_records(
             )
             if "facial" in w:  # 52 blendshape weights (beat.py facial track)
                 fields["facial"] = w["facial"]
+            if "sentence" in w:
+                fields["sentence"] = w["sentence"]
             writer.add(**fields)
             n += 1
     writer.finish(
@@ -250,7 +261,7 @@ class BeatWindowDataset:
             .astype(np.float32)
         )  # [J, 6, T] (train_loop BEAT :120-123 layout)
         vid_raw = int(r["vid"])
-        return {
+        out = {
             "motion": motion,
             "pose": np.asarray(r["pose"], np.float32),
             "audio": np.asarray(r["audio"], np.float32),
@@ -259,10 +270,17 @@ class BeatWindowDataset:
             "sem": np.asarray(r["sem"], np.float32),
             "word_ids": np.asarray(r["word_ids"], np.int32),
         }
+        if "sentence" in r:
+            out["sentence"] = str(r["sentence"])
+        return out
 
     def batch(self, indices: Sequence[int]) -> Dict:
         rows = [self[int(i)] for i in indices]
-        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        out: Dict = {}
+        for k in rows[0]:
+            vals = [r[k] for r in rows]
+            out[k] = vals if isinstance(vals[0], str) else np.stack(vals)
+        return out
 
 
 def beat_official_split(name: str, duration_s: float) -> Dict[str, List]:

@@ -62,7 +62,7 @@ def main():
     rag = RAG(cfg)
     rag_params = load_rag_params(args.model_path, args)
 
-    sag = SAG(njoints=args.njoints, nfeats=args.nfeats, latent_dim=args.latent_dim)
+    sag = SAG(njoints=args.njoints, nfeats=args.nfeats, latent_dim=512)  # = CLIP dim
     if args.sag_path:
         sag_params = load_sag_params(args.sag_path)
     else:

@@ -77,6 +77,49 @@ def main():
         enc = BeatEmbeddingEncoder()
         embed = jax.jit(lambda p: enc.apply({"params": enc_params}, p))
 
+    # Optional SAG composition (test_LivelySpeaker_beat.py:119-130:
+    # SAG sketch from CLIP text -> skip_timesteps refinement).
+    pipe = None
+    if args.sag_path:
+        import jax.numpy as jnp2  # noqa: F401
+
+        from eval_livelyspeaker_ted import load_sag_params
+        from livelyspeaker_tpu.data.clip_tokenizer import (
+            CLIPTokenizer,
+            HashTokenizer,
+        )
+        from livelyspeaker_tpu.models.clip_text import (
+            CLIPTextEncoder,
+            clip_text_params_from_torch,
+        )
+        from livelyspeaker_tpu.models.sag import SAG
+        from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+
+        sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats,
+                  latent_dim=512)  # = CLIP text dim (motionclip.py:89)
+        sag_params = load_sag_params(args.sag_path)
+        clip_model = CLIPTextEncoder()
+        if args.clip_path:
+            import torch
+
+            sd = torch.load(args.clip_path, map_location="cpu",
+                            weights_only=False)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            clip_params = clip_text_params_from_torch(sd)
+        else:
+            print("WARNING: random frozen CLIP text tower")
+            clip_params = clip_model.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32)
+            )["params"]
+        tok = CLIPTokenizer(args.bpe_path) if args.bpe_path else HashTokenizer()
+        pipe = LivelySpeakerPipeline(
+            model, params, sag, sag_params, clip_model, clip_params, tok,
+            steps=args.diffusion_steps,
+            timestep_respacing=args.timestep_respacing or "ddim100",
+            skip_timesteps=args.skip_steps or 80,
+        )
+
     aligner = Alignment(0.3, 2)  # test_RAG_beat.py:43
     n_joints = dataset.cfg.njoints
 
@@ -94,7 +137,13 @@ def main():
                 "origin_x": jnp.asarray(batch["motion"]),
             }
             rng, srng = jax.random.split(rng)
-            sample = sampler(cond, srng, guidance=guidance)
+            if pipe is not None:
+                sentences = batch.get(
+                    "sentence", ["a person is gesturing"] * b
+                )
+                sample = pipe(sentences, cond, srng, guidance=guidance)
+            else:
+                sample = sampler(cond, srng, guidance=guidance)
             gen_rot6d = np.asarray(sample).transpose(0, 3, 1, 2)  # [B,T,J,6]
             tar_rot6d = batch["motion"].transpose(0, 3, 1, 2)
             if embed is not None:

@@ -91,7 +91,7 @@ def main():
         from livelyspeaker_tpu.models.sag import SAG
 
         sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats,
-                  latent_dim=cfg.latent_dim)
+                  latent_dim=512)  # = CLIP text dim
         sag_params = load_sag_params(args.sag_path)
         clip_model = CLIPTextEncoder()
         if args.clip_path:
