@@ -8,7 +8,7 @@ HA2G diversity score are computed.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,15 +12,13 @@ most) two XLA programs; audio encoding is hoisted out of the diffusion scan.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .diffusion import DiffusionSchedule, Inpainting, sample_loop
-from .models import RAG, RAGConfig, make_cfg_denoiser
+from .models import RAG, make_cfg_denoiser
 from .models.clip_text import CLIPTextEncoder
 from .models.sag import SAG
 

@@ -11,7 +11,7 @@ reference's disabled DDP never did).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from ..diffusion import (
     training_losses,
     uniform_sample_t,
 )
-from ..models.rag import RAG, RAGConfig
+from ..models.rag import RAG
 
 __all__ = ["TrainState", "TrainConfig", "make_optimizer", "make_train_step",
            "init_train_state"]
