@@ -65,19 +65,24 @@ def pack_transmlp_params(
             return jnp.stack([jnp.asarray(b[key]) for b in blocks])
         return jnp.stack([jnp.asarray(b[key][sub]) for b in blocks])
 
-    tk = np.zeros((num_layers, s_pad, s_pad), np.float32)
+    # jnp (not numpy) so packing stays traceable under jit — RAGSampler
+    # packs inside its jitted sampling fn when use_fused=True.
+    tk = jnp.zeros((num_layers, s_pad, s_pad), jnp.float32)
+    tk = tk.at[:, :s, :s].set(
+        jnp.stack([jnp.asarray(b["token_mix_kernel"]) for b in blocks])
+    )
     # stored [L, S_pad, 1]: Mosaic handles sublane-dim broadcast from a
     # trailing singleton, but not a full [S] -> [S, TB, D] broadcast
-    tb = np.zeros((num_layers, s_pad, 1), np.float32)
-    for i, b in enumerate(blocks):
-        tk[i, :s, :s] = np.asarray(b["token_mix_kernel"])
-        tb[i, :s, 0] = np.asarray(b["token_mix_bias"])
+    tb = jnp.zeros((num_layers, s_pad, 1), jnp.float32)
+    tb = tb.at[:, :s, 0].set(
+        jnp.stack([jnp.asarray(b["token_mix_bias"]) for b in blocks])
+    )
 
     return {
         "ln1_scale": stack("ln1", "scale"),  # [L, D]
         "ln1_bias": stack("ln1", "bias"),
-        "token_w": jnp.asarray(tk, dtype),  # [L, S_pad, S_pad]
-        "token_b": jnp.asarray(tb, np.float32),  # [L, S_pad, 1]
+        "token_w": tk.astype(dtype),  # [L, S_pad, S_pad]
+        "token_b": tb,  # [L, S_pad, 1] f32
         "ln2_scale": stack("ln2", "scale"),
         "ln2_bias": stack("ln2", "bias"),
         "ch_w": jnp.stack(

@@ -82,6 +82,8 @@ def add_sampling_options(p: argparse.ArgumentParser):
     g.add_argument("--clip_path", type=str, default="")
     g.add_argument("--bpe_path", type=str, default="")
     g.add_argument("--eval_model_path", type=str, default="")
+    g.add_argument("--fused", action="store_true",
+                   help="sample through the fused Pallas backbone kernel")
 
 
 def add_all_groups(p: argparse.ArgumentParser, training: bool):

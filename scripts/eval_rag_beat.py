@@ -64,6 +64,7 @@ def main():
         schedule=args.noise_schedule,
         timestep_respacing=args.timestep_respacing or None,
         method="ddim" if args.timestep_respacing.startswith("ddim") else "ddpm",
+        use_fused=args.fused,
     )
 
     embed = None
