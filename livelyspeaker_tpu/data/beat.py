@@ -284,9 +284,11 @@ class BeatWindowDataset:
 
 
 def beat_official_split(name: str, duration_s: float) -> Dict[str, List]:
-    """Official BEAT split rules (preprocess_1.py:239-347): recordings named
-    ``0_*`` and ``1_1`` contribute their first 30 s (a) to val/test and the
-    next segment (b) to train; everything else goes wholly to train.
+    """Official BEAT split rules (preprocess_1.py:239-284): held-out
+    recordings (``0_*`` and ``1_1``) are cut into an (a) head segment for
+    val/test and a (b) tail for train; the cut point is 30 s for ``0_*``
+    files and 300 s for ``1_*`` (cut_sequence :240); everything else goes
+    wholly to train.
 
     Returns {'train': [(t0, t1)...], 'val': [...], 'test': [...]} second
     ranges for the given recording name.
@@ -296,7 +298,7 @@ def beat_official_split(name: str, duration_s: float) -> Dict[str, List]:
     is_heldout = parts[0] == "0" or (parts[0] == "1" and parts[1] == "1")
     if not is_heldout:
         return {"train": [(0.0, duration_s)], "val": [], "test": []}
-    cut = min(30.0, duration_s)
+    cut = min(30.0 if parts[0] == "0" else 300.0, duration_s)
     return {
         "train": [(cut, duration_s)] if duration_s > cut else [],
         "val": [(0.0, cut)],

@@ -85,6 +85,9 @@ def test_official_split_rules():
     assert s["train"] == [(0.0, 120.0)]
     s = beat_official_split("0_anything.bvh", 120.0)
     assert s["val"] == [(0.0, 30.0)] and s["train"] == [(30.0, 120.0)]
+    # 1_* files cut at 300 s (cut_sequence, preprocess_1.py:240)
+    s = beat_official_split("1_1_foo.bvh", 400.0)
+    assert s["val"] == [(0.0, 300.0)] and s["train"] == [(300.0, 400.0)]
     s = beat_official_split("1_1_foo.bvh", 20.0)
     assert s["val"] == [(0.0, 20.0)] and s["train"] == []
 
