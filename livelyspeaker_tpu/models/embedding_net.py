@@ -130,6 +130,71 @@ class PoseEmbeddingDecoder(nn.Module):
         return h
 
 
+class PoseDecoderFC(nn.Module):
+    """Fully-connected decoder variant (embedding_net.py:84-126): latent
+    (optionally + 4 seed poses) -> [B, T, D] through a BN MLP."""
+
+    gen_length: int = 34
+    pose_dim: int = 27
+    use_pre_poses: bool = False
+
+    @nn.compact
+    def __call__(self, latent, pre_poses=None, *, train: bool = False):
+        feat = latent
+        if self.use_pre_poses:
+            h = nn.Dense(32, name="pre0")(
+                pre_poses.reshape(pre_poses.shape[0], -1)
+            )
+            h = nn.BatchNorm(use_running_average=not train, name="pre_bn")(h)
+            h = nn.relu(h)
+            h = nn.Dense(32, name="pre1")(h)
+            feat = jnp.concatenate([h, latent], axis=1)
+        widths = (128, 128, 256, 512)
+        for i, w in enumerate(widths):
+            feat = nn.Dense(w, name=f"fc{i}")(feat)
+            feat = nn.BatchNorm(use_running_average=not train, name=f"bn{i}")(feat)
+            feat = nn.relu(feat)
+        out = nn.Dense(self.gen_length * self.pose_dim, name="out")(feat)
+        return out.reshape(-1, self.gen_length, self.pose_dim)
+
+
+class PoseDecoderGRU(nn.Module):
+    """Bidirectional-GRU decoder variant (embedding_net.py:129-161): seed
+    poses + latent repeated over time -> 4-layer bi-GRU -> poses.
+
+    (The reference file also contains a ``ContextEncoder`` referencing
+    undefined ``TextEncoderTCN``/``WavEncoder`` symbols — it raises
+    NameError if instantiated, i.e. dead code; deliberately not reproduced.)
+    """
+
+    gen_length: int = 34
+    pose_dim: int = 27
+    hidden: int = 300
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, latent, pre_poses, *, train: bool = False):
+        b = latent.shape[0]
+        h = nn.Dense(32, name="pre0")(pre_poses.reshape(b, -1))
+        h = nn.BatchNorm(use_running_average=not train, name="pre_bn")(h)
+        h = nn.relu(h)
+        h = nn.Dense(32, name="pre1")(h)
+        feat = jnp.concatenate([h, latent], axis=1)
+        x = jnp.broadcast_to(
+            feat[:, None, :], (b, self.gen_length, feat.shape[-1])
+        )
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru{i}_fwd")(x)
+            bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True,
+                         keep_order=True, name=f"gru{i}_bwd")(x)
+            x = jnp.concatenate([fwd, bwd], axis=-1)
+        # sum the directions (reference: output[:, :, :h] + output[:, :, h:])
+        x = x[..., : self.hidden] + x[..., self.hidden :]
+        x = nn.Dense(self.hidden // 2, name="out0")(x)
+        x = nn.leaky_relu(x, 0.01)
+        return nn.Dense(self.pose_dim, name="out1")(x)
+
+
 class GestureAutoencoder(nn.Module):
     """Trainable gesture autoencoder (EmbeddingNet, embedding_net.py:261-275)
     for producing FGD/FID evaluation fixtures from scratch."""

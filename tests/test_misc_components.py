@@ -105,3 +105,26 @@ def test_gesture_autoencoder_shapes(rng_np):
         method=model.embed,
     )
     assert feat2.shape == (3, 32)
+
+
+def test_pose_decoder_variants(rng_np):
+    import jax
+
+    from livelyspeaker_tpu.models.embedding_net import (
+        PoseDecoderFC,
+        PoseDecoderGRU,
+    )
+
+    latent = jnp.asarray(rng_np.normal(size=(2, 32)).astype(np.float32))
+    pre = jnp.asarray(rng_np.normal(size=(2, 4, 27)).astype(np.float32))
+
+    fc = PoseDecoderFC(use_pre_poses=True)
+    vs = fc.init(jax.random.PRNGKey(0), latent, pre, train=True)
+    (out), _ = fc.apply(vs, latent, pre, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 34, 27)
+
+    gru = PoseDecoderGRU()
+    vs = gru.init(jax.random.PRNGKey(1), latent, pre, train=True)
+    out, _ = gru.apply(vs, latent, pre, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 34, 27)
+    assert np.isfinite(np.asarray(out)).all()
