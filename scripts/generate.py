@@ -121,6 +121,7 @@ def main():
             model, params,
             steps=args.diffusion_steps,
             timestep_respacing=args.timestep_respacing or "ddim100",
+            use_fused=args.fused,
         )
         sample = sampler(cond, jax.random.PRNGKey(0),
                          guidance=args.guidance_param)
