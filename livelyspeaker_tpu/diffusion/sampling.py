@@ -303,9 +303,12 @@ def sample_loop(
     composition (``scripts/test_LivelySpeaker_ted.py:102-113``: q_sample-noise
     the SAG sketch to step T-skip, then denoise the remainder).
 
-    method: "ddpm" (ancestral), "ddim", or "plms" (order 1-4).
+    method: "ddpm" (ancestral), "ddim", "plms" (order 1-4), or "dpmpp"
+    (DPM-Solver++(2M), data-prediction multistep — a modern training-free
+    fast sampler beyond the reference's PLMS; ~10-20 steps typically match
+    DDIM-100 quality).
     """
-    assert method in ("ddpm", "ddim", "plms"), method
+    assert method in ("ddpm", "ddim", "plms", "dpmpp"), method
     n_steps = sched.num_timesteps - skip_timesteps
     assert n_steps >= 1, (sched.num_timesteps, skip_timesteps)
     batch = shape[0]
@@ -373,6 +376,57 @@ def sample_loop(
             return (new_x, loop_rng), y
 
         (final, _), preds = jax.lax.scan(body, (img, rng), indices)
+        if return_pred_xstart:
+            return final, preds
+        return final
+
+    if method == "dpmpp":
+        # DPM-Solver++(2M), data-prediction form (Lu et al. 2022).
+        # lambda_t = log(alpha_t / sigma_t) with alpha = sqrt(acp),
+        # sigma = sqrt(1 - acp); the final step (t=0) returns pred_xstart
+        # (sigma_0 of the discrete chain is 0 for the x0 target).
+        acp = sched.alphas_cumprod
+        acp_prev = sched.alphas_cumprod_prev
+        log_lambda = 0.5 * (jnp.log(acp) - jnp.log1p(-acp))
+        # lambda at the *destination* of step i (t-1 in the spaced chain)
+        log_lambda_prev = 0.5 * (
+            jnp.log(acp_prev) - jnp.log(jnp.maximum(1.0 - acp_prev, 1e-20))
+        )
+
+        def body(carry, args):
+            x, loop_rng, d_prev, h_prev, n_prev = carry
+            i, _ = args
+            loop_rng, step_rng = jax.random.split(loop_rng)
+            out, t = shared_out(x, i, step_rng)
+            d = out["pred_xstart"]
+            nd = x.ndim
+
+            lam = log_lambda[i]
+            lam_next = log_lambda_prev[i]
+            h = lam_next - lam
+            alpha_next = jnp.sqrt(acp_prev[i])
+            sigma_next = jnp.sqrt(jnp.maximum(1.0 - acp_prev[i], 0.0))
+            sigma_cur = jnp.sqrt(1.0 - acp[i])
+
+            # 2M correction: D~ = (1 + 1/(2r)) D_i - 1/(2r) D_{i-1}
+            r = h_prev / jnp.where(h == 0, 1.0, h)
+            coef = 1.0 / jnp.maximum(2.0 * r, 1e-20)
+            d_tilde = jnp.where(n_prev > 0, (1.0 + coef) * d - coef * d_prev, d)
+
+            new_x = (sigma_next / sigma_cur) * x - alpha_next * (
+                jnp.exp(-h) - 1.0
+            ) * d_tilde
+            # last step of the chain lands on the clean sample
+            new_x = jnp.where(t[0] > 0, new_x, d)
+            y = d if return_pred_xstart else None
+            return (new_x, loop_rng, d, h, n_prev + 1), y
+
+        steps = jnp.arange(n_steps, dtype=jnp.int32)
+        (final, _, _, _, _), preds = jax.lax.scan(
+            body,
+            (img, rng, jnp.zeros_like(img), jnp.float32(1.0), jnp.int32(0)),
+            (indices, steps),
+        )
         if return_pred_xstart:
             return final, preds
         return final

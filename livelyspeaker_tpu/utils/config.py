@@ -84,6 +84,10 @@ def add_sampling_options(p: argparse.ArgumentParser):
     g.add_argument("--eval_model_path", type=str, default="")
     g.add_argument("--fused", action="store_true",
                    help="sample through the fused Pallas backbone kernel")
+    g.add_argument("--sampler", type=str, default="",
+                   choices=["", "ddpm", "ddim", "plms", "dpmpp"],
+                   help="override the sampler (default: ddim when respaced, "
+                        "ddpm otherwise; dpmpp enables 10-20 step sampling)")
 
 
 def add_all_groups(p: argparse.ArgumentParser, training: bool):

@@ -63,7 +63,9 @@ def main():
         steps=args.diffusion_steps,
         schedule=args.noise_schedule,
         timestep_respacing=args.timestep_respacing or None,
-        method="ddim" if args.timestep_respacing.startswith("ddim") else "ddpm",
+        method=args.sampler or (
+            "ddim" if args.timestep_respacing.startswith("ddim") else "ddpm"
+        ),
         use_fused=args.fused,
     )
 

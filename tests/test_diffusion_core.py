@@ -538,3 +538,40 @@ def test_ddim_cond_fn_matches_reference(rng_np):
         )
     )
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_dpmpp_oracle_convergence():
+    """DPM-Solver++ with a perfect x0 oracle converges exactly."""
+    sched = DiffusionSchedule.create(steps=50, schedule="cosine")
+    x_true = jnp.full((1, 2, 3, 4), 0.3)
+    fn = _perfect_denoiser(sched, x_true)
+    out = sample_loop(
+        fn, sched, (4, 2, 3, 4), jax.random.PRNGKey(0), method="dpmpp"
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.3, atol=1e-3)
+
+
+def test_dpmpp_few_steps_tracks_dense_ddim():
+    """With a smooth x-dependent model, 10-step DPM-Solver++ should land
+    closer to the dense (100-step DDIM) solution than 10-step DDIM does."""
+
+    def fn(x, t, rng):
+        return jnp.tanh(x) * 0.8
+
+    shape = (4, 2, 3, 4)
+    noise = jax.random.normal(jax.random.PRNGKey(5), shape)
+
+    dense_sched = DiffusionSchedule.create(steps=1000, schedule="cosine",
+                                           timestep_respacing="ddim100")
+    ref = sample_loop(fn, dense_sched, shape, jax.random.PRNGKey(0),
+                      method="ddim", noise=noise)
+
+    few = DiffusionSchedule.create(steps=1000, schedule="cosine",
+                                   timestep_respacing="ddim10")
+    out_ddim = sample_loop(fn, few, shape, jax.random.PRNGKey(0),
+                           method="ddim", noise=noise)
+    out_dpmpp = sample_loop(fn, few, shape, jax.random.PRNGKey(0),
+                            method="dpmpp", noise=noise)
+    err_ddim = float(jnp.abs(out_ddim - ref).mean())
+    err_dpmpp = float(jnp.abs(out_dpmpp - ref).mean())
+    assert err_dpmpp < err_ddim, (err_dpmpp, err_ddim)
