@@ -24,6 +24,7 @@ from .sampling import (
     q_mean_variance,
     q_posterior_mean_variance,
     q_sample,
+    reverse_loop,
     sample_loop,
 )
 from .losses import (

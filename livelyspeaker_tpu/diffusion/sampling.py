@@ -40,6 +40,7 @@ __all__ = [
     "Inpainting",
     "condition_mean",
     "condition_score",
+    "reverse_loop",
     "sample_loop",
 ]
 
@@ -271,6 +272,35 @@ def ddim_reverse_step(sched, model_pred, x, t, *, mean_type=MeanType.START_X,
     return out["pred_xstart"] * jnp.sqrt(alpha_bar_next) + jnp.sqrt(
         1 - alpha_bar_next
     ) * eps
+
+
+def reverse_loop(
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray],
+    sched: DiffusionSchedule,
+    x0: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    mean_type: MeanType = MeanType.START_X,
+    clip_denoised: bool = False,
+) -> jnp.ndarray:
+    """Deterministic DDIM encoding x_0 -> x_T as one scan (the loop the
+    reference only ships per-step, ``ddim_reverse_sample``
+    gaussian_diffusion.py:857-893). Enables inversion-based editing."""
+    batch = x0.shape[0]
+
+    def body(carry, i):
+        x, loop_rng = carry
+        loop_rng, step_rng = jax.random.split(loop_rng)
+        t = jnp.full((batch,), i, jnp.int32)
+        pred = denoise_fn(x, sched.map_timesteps(t), step_rng)
+        new_x = ddim_reverse_step(
+            sched, pred, x, t, mean_type=mean_type, clip_denoised=clip_denoised
+        )
+        return (new_x, loop_rng), None
+
+    indices = jnp.arange(sched.num_timesteps, dtype=jnp.int32)
+    (final, _), _ = jax.lax.scan(body, (x0, rng), indices)
+    return final
 
 
 def sample_loop(

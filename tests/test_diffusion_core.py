@@ -575,3 +575,25 @@ def test_dpmpp_few_steps_tracks_dense_ddim():
     err_ddim = float(jnp.abs(out_ddim - ref).mean())
     err_dpmpp = float(jnp.abs(out_dpmpp - ref).mean())
     assert err_dpmpp < err_ddim, (err_dpmpp, err_ddim)
+
+
+def test_ddim_reverse_roundtrip():
+    """Encode x0 -> x_T with reverse_loop, decode back with DDIM: for a
+    smooth model the roundtrip approximately recovers x0 (DDIM inversion)."""
+    from livelyspeaker_tpu.diffusion import reverse_loop
+
+    sched = DiffusionSchedule.create(
+        steps=1000, schedule="cosine", timestep_respacing="ddim50"
+    )
+
+    def fn(x, t, rng):
+        return jnp.tanh(x) * 0.9
+
+    x0 = jnp.tanh(jax.random.normal(jax.random.PRNGKey(0), (2, 2, 3, 4))) * 0.5
+    x_t = reverse_loop(fn, sched, x0, jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(x_t).all())
+    back = sample_loop(
+        fn, sched, x0.shape, jax.random.PRNGKey(2), method="ddim",
+        noise=x_t,
+    )
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x0), atol=0.15)
