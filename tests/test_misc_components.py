@@ -128,3 +128,33 @@ def test_pose_decoder_variants(rng_np):
     out, _ = gru.apply(vs, latent, pre, train=True, mutable=["batch_stats"])
     assert out.shape == (2, 34, 27)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_loader_propagates_producer_errors():
+    from livelyspeaker_tpu.data import DataLoader
+
+    class BadDataset:
+        def __len__(self):
+            return 8
+
+        def batch(self, idx):
+            raise RuntimeError("boom in producer")
+
+    dl = DataLoader(BadDataset(), batch_size=2, shuffle=False)
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        list(dl)
+
+
+def test_step_timer_counters():
+    import time as _time
+
+    from livelyspeaker_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(batch_size=10, warmup_steps=1)
+    t.tick()
+    _time.sleep(0.01)
+    out = t.tick()
+    assert out["clips_per_sec"] > 0
+    _time.sleep(0.01)
+    out = t.tick()
+    assert "avg_clips_per_sec" in out and out["avg_clips_per_sec"] > 0
