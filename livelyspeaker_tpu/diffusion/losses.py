@@ -20,6 +20,7 @@ from .schedule import DiffusionSchedule
 
 __all__ = [
     "huber",
+    "huber_per_sample",
     "masked_l2",
     "normal_kl",
     "discretized_gaussian_log_likelihood",
@@ -36,6 +37,23 @@ def huber(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 0.1) -> jnp.ndar
     ad = jnp.abs(d)
     l = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
     return jnp.mean(l) * beta
+
+
+def huber_per_sample(
+    pred: jnp.ndarray, target: jnp.ndarray, beta: float = 0.1
+) -> jnp.ndarray:
+    """Per-sample smooth-L1 ([B] vector of per-sample means).
+
+    ``huber_per_sample(...).mean() == huber(...)`` exactly (equal element
+    counts per sample), so this gives the per-timestep breakdown the
+    reference's quartile logging needs (train_loop.py:255-261) and the
+    per-sample losses the loss-aware schedule sampler consumes
+    (resample.py:70-104), without changing the scalar loss semantics.
+    """
+    d = (pred - target) / beta
+    ad = jnp.abs(d)
+    l = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+    return mean_flat(l) * beta
 
 
 def sum_flat(x: jnp.ndarray) -> jnp.ndarray:
@@ -235,11 +253,15 @@ def training_losses(
 
     terms: Dict[str, jnp.ndarray] = {}
     if loss_type == "huber":
-        terms["rot_mse"] = huber(target, model_output)
+        rot_ps = huber_per_sample(target, model_output)
+        terms["rot_mse"] = jnp.mean(rot_ps)
+        terms["loss_per_sample"] = rot_ps
         if lambda_vel > 0.0:
             target_vel = target[..., 1:] - target[..., :-1]
             out_vel = model_output[..., 1:] - model_output[..., :-1]
-            terms["vel_mse"] = huber(target_vel, out_vel)
+            vel_ps = huber_per_sample(target_vel, out_vel)
+            terms["vel_mse"] = jnp.mean(vel_ps)
+            terms["loss_per_sample"] = rot_ps + lambda_vel * vel_ps
     elif loss_type == "mse":
         if mask is None:
             mask = jnp.ones(
@@ -259,4 +281,6 @@ def training_losses(
         terms["kld"] = kld_from_mu_logvar(out["z_mu"], out["z_logvar"])
 
     terms["loss"] = terms["rot_mse"] + lambda_vel * terms.get("vel_mse", 0.0)
+    if "loss_per_sample" not in terms:
+        terms["loss_per_sample"] = terms["loss"]  # mse branch: already [B]
     return terms

@@ -173,17 +173,20 @@ class NoPlatform(TrainPlatform):
 
 def log_loss_quartiles(
     logger: KVLogger, t: np.ndarray, losses: Dict[str, np.ndarray],
-    num_timesteps: int
+    num_timesteps: int, *, log_means: bool = True
 ) -> None:
     """Per-timestep-quartile loss means (train_loop.py:255-261).
 
     Vectorised: one bincount per key instead of a Python loop over samples.
+    ``log_means=False`` skips the whole-batch mean (for callers that already
+    log it from the step metrics).
     """
     t = np.asarray(t)
     quartile = (4 * t // num_timesteps).astype(np.int64)
     for key, values in losses.items():
         values = np.atleast_1d(np.asarray(values, dtype=np.float64))
-        logger.logkv_mean(key, values.mean())
+        if log_means:
+            logger.logkv_mean(key, values.mean())
         if values.shape != t.shape:
             continue  # scalar losses (huber) have no per-sample breakdown
         for q in range(4):

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from .checkpoints import CheckpointManager, save_args
-from .logging import KVLogger, NoPlatform, TrainPlatform
+from .logging import KVLogger, NoPlatform, TrainPlatform, log_loss_quartiles
 from .trainer import (
     TrainConfig,
     TrainState,
@@ -60,7 +60,9 @@ class TrainLoop:
         self.rng = jax.random.PRNGKey(seed)
 
         tx = make_optimizer(self.cfg)
-        self.state = init_train_state(params, tx)
+        self.state = init_train_state(
+            params, tx, cfg=self.cfg, num_timesteps=sched.num_timesteps
+        )
         self.step_fn = jax.jit(
             make_train_step(model, sched, tx, self.cfg), donate_argnums=0
         )
@@ -79,14 +81,17 @@ class TrainLoop:
     def step(self) -> int:
         return int(self.state.step)
 
+    def _anneal_done(self) -> bool:
+        return bool(
+            self.cfg.lr_anneal_steps
+            and self.step >= self.cfg.lr_anneal_steps
+        )
+
     def run_loop(self) -> TrainState:
         t_start = time.time()
         for epoch in range(self.num_epochs):
             for batch in self.data:
-                if (
-                    self.cfg.lr_anneal_steps
-                    and self.step >= self.cfg.lr_anneal_steps
-                ):
+                if self._anneal_done():
                     break
                 self.rng, step_rng = jax.random.split(self.rng)
                 dev_batch = {
@@ -98,6 +103,15 @@ class TrainLoop:
                     self.state, dev_batch, step_rng
                 )
                 if self.step % self.log_interval == 0:
+                    t = np.asarray(metrics.pop("t"))
+                    loss_ps = np.asarray(metrics.pop("loss_per_sample"))
+                    log_loss_quartiles(
+                        self.logger,
+                        t,
+                        {"loss": loss_ps},
+                        self.sched.num_timesteps,
+                        log_means=False,  # scalar 'loss' logged below
+                    )
                     metrics = {k: float(v) for k, v in metrics.items()}
                     for k, v in metrics.items():
                         self.logger.logkv_mean(k, v)
@@ -118,6 +132,8 @@ class TrainLoop:
                 and epoch > self.save_after_epoch
             ):
                 self.save()
+            if self._anneal_done():
+                break  # don't spin through the remaining epochs
         if self.ckpt is not None:
             self.save()
         return self.state
@@ -132,4 +148,11 @@ class TrainLoop:
         save_params_npz(
             f"{self.save_dir}/model{self.step:09d}.npz", host_state.params
         )
+        if host_state.ema_params is not None:
+            # EMA weights exported alongside, selectable at eval time by
+            # pointing --model_path at the _ema file.
+            save_params_npz(
+                f"{self.save_dir}/model_ema{self.step:09d}.npz",
+                host_state.ema_params,
+            )
         print(f"saved checkpoint at step {self.step}")

@@ -20,6 +20,10 @@ from flax import struct
 
 from ..diffusion import (
     DiffusionSchedule,
+    LossSecondMomentState,
+    ema_update,
+    loss_aware_sample_t,
+    loss_aware_update,
     training_losses,
     uniform_sample_t,
 )
@@ -43,6 +47,7 @@ class TrainConfig:
         kld_weight: float = 0.01,  # train_loop.py:182 (BEAT uses 0.0, :246)
         grad_clip: float = 0.0,
         schedule_sampler: str = "uniform",
+        ema_rate: float = 0.0,
         compute_dtype: str = "float32",
     ):
         self.lr = lr
@@ -53,6 +58,10 @@ class TrainConfig:
         self.kld_weight = kld_weight
         self.grad_clip = grad_clip
         self.schedule_sampler = schedule_sampler
+        # EMA of params (reference update_ema, diffusion/nn.py:56-66);
+        # 0.0 = off (the reference's TrainLoop never wires its own EMA either,
+        # but guided-diffusion lineage uses 0.9999).
+        self.ema_rate = ema_rate
         # TPU-native mixed precision: bf16 compute against f32 master params
         # (replaces the reference's fp16 MixedPrecisionTrainer + dynamic loss
         # scaling, fp16_util.py:148-232 — bf16 needs no loss scaling).
@@ -64,6 +73,10 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Loss-second-moment sampler history (None when schedule_sampler=uniform).
+    sampler_state: Any = None
+    # EMA shadow params (None when ema_rate == 0).
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -80,9 +93,37 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
-def init_train_state(params, tx) -> TrainState:
+_LOSS_AWARE_NAMES = ("loss-second-moment", "loss_second_moment")
+
+
+def init_train_state(
+    params,
+    tx,
+    *,
+    cfg: "TrainConfig | None" = None,
+    num_timesteps: int | None = None,
+) -> TrainState:
+    sampler_state = None
+    ema_params = None
+    if cfg is not None:
+        if cfg.schedule_sampler in _LOSS_AWARE_NAMES:
+            if not num_timesteps:
+                raise ValueError(
+                    "loss-second-moment sampler needs num_timesteps"
+                )
+            sampler_state = LossSecondMomentState.create(num_timesteps)
+        if cfg.ema_rate > 0:
+            # Real copies: aliasing the param buffers would break donation
+            # (the same buffer can't be donated twice in one step).
+            ema_params = jax.tree.map(
+                lambda p: jnp.array(p, copy=True), params
+            )
     return TrainState(
-        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        sampler_state=sampler_state,
+        ema_params=ema_params,
     )
 
 
@@ -143,16 +184,31 @@ def make_train_step(
             loss_type=cfg.loss_type,
             lambda_vel=cfg.lambda_vel,
         )
-        # train_loop.py:182: (loss * weights).mean() + 0.01 * kld
-        loss = jnp.mean(terms["loss"] * weights) + cfg.kld_weight * terms.get(
-            "kld", 0.0
-        )
+        # train_loop.py:182: (loss * weights).mean() + 0.01 * kld.  The
+        # per-sample reduction makes the importance weights of the
+        # loss-aware sampler land on the right samples; for uniform weights
+        # it equals the reference's scalar-huber mean exactly.
+        loss = jnp.mean(
+            terms["loss_per_sample"] * weights
+        ) + cfg.kld_weight * terms.get("kld", 0.0)
         return loss, terms
+
+    use_loss_aware = cfg.schedule_sampler in _LOSS_AWARE_NAMES
+    if not use_loss_aware and cfg.schedule_sampler != "uniform":
+        raise NotImplementedError(
+            f"unknown schedule_sampler: {cfg.schedule_sampler!r}"
+        )
 
     def train_step(state: TrainState, batch, rng):
         rng_t, rng_loss = jax.random.split(rng)
         b = batch["motion"].shape[0]
-        t, weights = uniform_sample_t(rng_t, b, sched.num_timesteps)
+        if use_loss_aware:
+            # Importance-sample t from the warmed loss history
+            # (resample.py:42-58); the all_gather the reference needs is
+            # unnecessary under pjit — the batch is globally sharded.
+            t, weights = loss_aware_sample_t(state.sampler_state, rng_t, b)
+        else:
+            t, weights = uniform_sample_t(rng_t, b, sched.num_timesteps)
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, t, weights, rng_loss
         )
@@ -179,18 +235,48 @@ def make_train_step(
             opt_candidate,
             state.opt_state,
         )
+        # Loss-aware history update, guarded so a NaN batch can't poison the
+        # sampling weights (matches the NaN-step skip above).
+        new_sampler = state.sampler_state
+        if use_loss_aware:
+            losses_ps = terms["loss_per_sample"]
+            safe = jnp.all(jnp.isfinite(losses_ps))
+            updated = loss_aware_update(
+                state.sampler_state,
+                t,
+                jnp.where(safe, losses_ps, jnp.zeros_like(losses_ps)),
+            )
+            new_sampler = jax.tree.map(
+                lambda n, o: jnp.where(safe, n, o),
+                updated,
+                state.sampler_state,
+            )
+
+        new_ema = state.ema_params
+        if cfg.ema_rate > 0 and state.ema_params is not None:
+            # new_params is already NaN-guarded, so the EMA stays clean.
+            new_ema = ema_update(state.ema_params, new_params, cfg.ema_rate)
+
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
             "param_norm": optax.global_norm(state.params),
             "t_mean": jnp.mean(t.astype(jnp.float32)),
             "skipped_nonfinite": 1.0 - grads_finite.astype(jnp.float32),
+            # Per-sample breakdown for the quartile logger
+            # (train_loop.py:255-261); host side pops these array entries.
+            "t": t,
+            "loss_per_sample": terms["loss_per_sample"],
         }
         for k in ("rot_mse", "vel_mse", "kld"):
             if k in terms:
                 metrics[k] = jnp.mean(terms[k])
         new_state = TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            sampler_state=new_sampler,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

@@ -70,6 +70,12 @@ def add_training_options(p: argparse.ArgumentParser):
     g.add_argument("--save_interval", type=int, default=100)
     g.add_argument("--resume_checkpoint", type=str, default="")
     g.add_argument("--overwrite", action="store_true")
+    g.add_argument("--schedule_sampler", type=str, default="uniform",
+                   choices=["uniform", "loss-second-moment"],
+                   help="timestep sampler (resample.py:8-58)")
+    g.add_argument("--ema_rate", type=float, default=0.0,
+                   help="EMA decay for shadow params; 0 disables "
+                        "(diffusion/nn.py:56-66)")
 
 
 def add_sampling_options(p: argparse.ArgumentParser):

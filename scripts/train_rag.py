@@ -111,6 +111,9 @@ def main():
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
         lambda_vel=args.lambda_vel,
+        schedule_sampler=args.schedule_sampler,
+        ema_rate=args.ema_rate,
+        kld_weight=0.0 if args.dataset == "beat" else 0.01,
     )
     loop = TrainLoop(
         model,
