@@ -87,22 +87,45 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err = []
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            """Bounded put that gives up when the consumer is gone, so an
+            abandoned iterator can't leave the producer blocked forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self._make_batches():
-                    q.put(self._to_device(b))
+                    if not put_or_stop(self._to_device(b)):
+                        return
             except Exception as e:  # surfaced in consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put_or_stop(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # Runs on break/exception/GC of the generator: signal the
+            # producer and drain so it exits promptly.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -102,6 +102,7 @@ def build_synthetic_beat_records(
 
     rng = np.random.default_rng(seed)
     cfg = BeatConfig()
+    vocab = ("hello", "world", "this", "is", "a", "test", "gesture", "talk")
     clips = []
     for c in range(n_clips):
         t = int(clip_seconds * cfg.pose_fps)
@@ -109,6 +110,12 @@ def build_synthetic_beat_records(
         audio = (0.1 * rng.normal(size=int(clip_seconds * cfg.sr))).astype(
             np.float32
         )
+        # Timed [word, start_s, end_s] triples so windows carry sentences
+        # for the SAG composition (beat.py:548-568 semantics).
+        words = [
+            [vocab[i % len(vocab)], 0.5 * i, 0.5 * i + 0.45]
+            for i in range(int(clip_seconds * 2))
+        ]
         clips.append(
             {
                 "vid": int(cfg.speakers[c % len(cfg.speakers)]),
@@ -116,6 +123,7 @@ def build_synthetic_beat_records(
                 "audio": audio,
                 "emo": rng.integers(0, 8, size=t),
                 "sem": rng.uniform(0, 1, size=t).astype(np.float32),
+                "words": words,
             }
         )
     return build_beat_records(cfg, clips, out_dir)

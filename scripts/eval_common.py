@@ -1,0 +1,93 @@
+"""Shared eval-CLI plumbing: SAG / CLIP weight loading and construction of
+the two-stage LivelySpeaker composition pipeline.
+
+Factors the loading logic the reference repeats across its eval scripts
+(``scripts/test_LivelySpeaker_ted.py:38-54`` ``load_model``,
+``scripts_beat/test_LivelySpeaker_beat.py:33-41``) into one place used by
+``eval_livelyspeaker_ted.py``, ``eval_livelyspeaker_beat.py`` and
+``eval_rag_beat.py``.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from livelyspeaker_tpu.data.clip_tokenizer import CLIPTokenizer, HashTokenizer
+from livelyspeaker_tpu.models.clip_text import (
+    CLIPTextEncoder,
+    clip_text_params_from_torch,
+)
+from livelyspeaker_tpu.models.sag import SAG
+from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+from livelyspeaker_tpu.training.checkpoints import load_params_npz
+
+__all__ = ["load_sag_params", "load_clip", "load_tokenizer", "build_pipeline"]
+
+
+def load_sag_params(path):
+    """SAG weights from our .npz export or the released torch .pth
+    (test_LivelySpeaker_ted.py:40-47)."""
+    if path.endswith(".npz"):
+        return load_params_npz(path)
+    import torch
+
+    from livelyspeaker_tpu.utils.torch_convert import (
+        sag_params_from_torch_state_dict,
+    )
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return sag_params_from_torch_state_dict(sd)
+
+
+def load_clip(args):
+    """Frozen CLIP ViT-B/32 text tower (motionclip.py:96-104); random-init
+    fallback keeps the pipeline runnable without the released weights."""
+    clip_model = CLIPTextEncoder()
+    if getattr(args, "clip_path", ""):
+        import torch
+
+        sd = torch.load(args.clip_path, map_location="cpu",
+                        weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        clip_params = clip_text_params_from_torch(sd)
+    else:
+        print("WARNING: random frozen CLIP text tower (no --clip_path)")
+        clip_params = clip_model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32)
+        )["params"]
+    return clip_model, clip_params
+
+
+def load_tokenizer(args):
+    return (CLIPTokenizer(args.bpe_path) if getattr(args, "bpe_path", "")
+            else HashTokenizer())
+
+
+def build_pipeline(args, rag, rag_params, njoints, nfeats):
+    """Full two-stage composition: SAG semantic sketch -> q_sample to
+    T - skip -> RAG refinement under CFG (test_LivelySpeaker_ted.py:85-113,
+    test_LivelySpeaker_beat.py:101-130)."""
+    sag = SAG(njoints=njoints, nfeats=nfeats,
+              latent_dim=512)  # = CLIP text dim (motionclip.py:89)
+    if getattr(args, "sag_path", ""):
+        sag_params = load_sag_params(args.sag_path)
+    else:
+        print("WARNING: random-init SAG (no --sag_path)")
+        sag_params = sag.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, njoints, nfeats, args.n_poses)),
+        )["params"]
+    clip_model, clip_params = load_clip(args)
+    tokenizer = load_tokenizer(args)
+    return LivelySpeakerPipeline(
+        rag, rag_params, sag, sag_params, clip_model, clip_params, tokenizer,
+        steps=args.diffusion_steps,
+        timestep_respacing=args.timestep_respacing or "ddim100",
+        skip_timesteps=(args.skip_steps
+                        or 80),  # test_LivelySpeaker_beat.py:232
+    )

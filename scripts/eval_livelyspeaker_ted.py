@@ -22,26 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
-from livelyspeaker_tpu.data.clip_tokenizer import CLIPTokenizer, HashTokenizer
 from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator, ted_beat_align_batch
 from livelyspeaker_tpu.models import RAG, RAGConfig
-from livelyspeaker_tpu.models.clip_text import CLIPTextEncoder, clip_text_params_from_torch
-from livelyspeaker_tpu.models.sag import SAG
-from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
-from livelyspeaker_tpu.training.checkpoints import load_params_npz
 from livelyspeaker_tpu.utils.config import generate_args
+from eval_common import build_pipeline, load_sag_params  # noqa: F401 (re-export)
 from eval_rag_ted import load_rag_params
-
-
-def load_sag_params(path):
-    if path.endswith(".npz"):
-        return load_params_npz(path)
-    import torch
-
-    from livelyspeaker_tpu.utils.torch_convert import sag_params_from_torch_state_dict
-
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    return sag_params_from_torch_state_dict(sd)
 
 
 def main():
@@ -61,33 +46,7 @@ def main():
     )
     rag = RAG(cfg)
     rag_params = load_rag_params(args.model_path, args)
-
-    sag = SAG(njoints=args.njoints, nfeats=args.nfeats, latent_dim=512)  # = CLIP dim
-    if args.sag_path:
-        sag_params = load_sag_params(args.sag_path)
-    else:
-        print("WARNING: random-init SAG (no --sag_path)")
-        sag_params = sag.init(jax.random.PRNGKey(0),
-                              jnp.zeros((1, args.njoints, args.nfeats, args.n_poses)))["params"]
-
-    clip_model = CLIPTextEncoder()
-    if args.clip_path:
-        import torch
-        sd = torch.load(args.clip_path, map_location="cpu", weights_only=False)
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
-        clip_params = clip_text_params_from_torch(sd)
-    else:
-        print("WARNING: random frozen CLIP text tower (no --clip_path)")
-        clip_params = clip_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
-    tokenizer = CLIPTokenizer(args.bpe_path) if args.bpe_path else HashTokenizer()
-
-    pipe = LivelySpeakerPipeline(
-        rag, rag_params, sag, sag_params, clip_model, clip_params, tokenizer,
-        steps=args.diffusion_steps,
-        timestep_respacing=args.timestep_respacing or "ddim100",
-        skip_timesteps=args.skip_steps or 80,
-    )
+    pipe = build_pipeline(args, rag, rag_params, args.njoints, args.nfeats)
 
     evaluator = None
     if args.eval_model_path and os.path.exists(args.eval_model_path):

@@ -81,47 +81,13 @@ def main():
         embed = jax.jit(lambda p: enc.apply({"params": enc_params}, p))
 
     # Optional SAG composition (test_LivelySpeaker_beat.py:119-130:
-    # SAG sketch from CLIP text -> skip_timesteps refinement).
+    # SAG sketch from CLIP text -> skip_timesteps refinement); the dedicated
+    # full-composition sweep lives in eval_livelyspeaker_beat.py.
     pipe = None
     if args.sag_path:
-        import jax.numpy as jnp2  # noqa: F401
+        from eval_common import build_pipeline
 
-        from eval_livelyspeaker_ted import load_sag_params
-        from livelyspeaker_tpu.data.clip_tokenizer import (
-            CLIPTokenizer,
-            HashTokenizer,
-        )
-        from livelyspeaker_tpu.models.clip_text import (
-            CLIPTextEncoder,
-            clip_text_params_from_torch,
-        )
-        from livelyspeaker_tpu.models.sag import SAG
-        from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
-
-        sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats,
-                  latent_dim=512)  # = CLIP text dim (motionclip.py:89)
-        sag_params = load_sag_params(args.sag_path)
-        clip_model = CLIPTextEncoder()
-        if args.clip_path:
-            import torch
-
-            sd = torch.load(args.clip_path, map_location="cpu",
-                            weights_only=False)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            clip_params = clip_text_params_from_torch(sd)
-        else:
-            print("WARNING: random frozen CLIP text tower")
-            clip_params = clip_model.init(
-                jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32)
-            )["params"]
-        tok = CLIPTokenizer(args.bpe_path) if args.bpe_path else HashTokenizer()
-        pipe = LivelySpeakerPipeline(
-            model, params, sag, sag_params, clip_model, clip_params, tok,
-            steps=args.diffusion_steps,
-            timestep_respacing=args.timestep_respacing or "ddim100",
-            skip_timesteps=args.skip_steps or 80,
-        )
+        pipe = build_pipeline(args, model, params, cfg.njoints, cfg.nfeats)
 
     aligner = Alignment(0.3, 2)  # test_RAG_beat.py:43
     n_joints = dataset.cfg.njoints

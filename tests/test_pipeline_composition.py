@@ -83,6 +83,83 @@ def test_full_composition(rng_np):
     assert not np.allclose(np.asarray(sketch), np.asarray(sketch2))
 
 
+def test_beat_full_composition_sweep(tmp_path, rng_np):
+    """End-to-end BEAT LivelySpeaker composition on synthetic records:
+    sentence -> CLIP -> SAG(47x6) sketch -> skip-step RAG refinement ->
+    FID + SRGR + alignment + diversity (the eval_livelyspeaker_beat.py
+    protocol, reference test_LivelySpeaker_beat.py:77-177)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from eval_livelyspeaker_beat import run_sweep
+
+    from livelyspeaker_tpu.data import DataLoader
+    from livelyspeaker_tpu.data.beat import BeatWindowDataset
+    from livelyspeaker_tpu.data.synthetic import build_synthetic_beat_records
+    from livelyspeaker_tpu.models.embedding_net import BeatEmbeddingEncoder
+
+    d = str(tmp_path / "beat_records")
+    n = build_synthetic_beat_records(d, n_clips=2, clip_seconds=4.0)
+    assert n > 0
+    ds = BeatWindowDataset(d)
+    assert "sentence" in ds[0], "synthetic BEAT windows must carry sentences"
+    loader = DataLoader(ds, batch_size=3, shuffle=False, drop_last=True,
+                        seed=233)
+
+    cfg = RAGConfig.beat(latent_dim=64, num_layers=2, n_speakers=30)
+    rag = RAG(cfg)
+    b0 = ds.batch([0, 1])
+    cond0 = {
+        "audio": jnp.asarray(b0["audio"]),
+        "vid": jnp.asarray(b0["vid"]),
+        "emo": jnp.asarray(b0["emo"]),
+        "origin_x": jnp.asarray(b0["motion"]),
+    }
+    rag_params = rag.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        jnp.asarray(b0["motion"]),
+        jnp.zeros((2,), jnp.int32),
+        cond0,
+    )["params"]
+
+    sag = SAG(njoints=47, nfeats=6, latent_dim=64, ff_size=128, num_layers=1)
+    sag_params = sag.init(
+        jax.random.PRNGKey(2), jnp.zeros((2, 47, 6, T))
+    )["params"]
+    ccfg = CLIPTextConfig(
+        vocab_size=49408, context_length=77, width=64, layers=2, heads=4,
+        embed_dim=64,
+    )
+    clip_model = CLIPTextEncoder(ccfg)
+    clip_params = clip_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+    pipe = LivelySpeakerPipeline(
+        rag, rag_params, sag, sag_params, clip_model, clip_params,
+        HashTokenizer(),
+        steps=100,
+        timestep_respacing="ddim10",
+        skip_timesteps=8,  # 2 live refinement steps
+    )
+
+    enc = BeatEmbeddingEncoder()
+    enc_params = enc.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 34, 282))
+    )["params"]
+    embed = jax.jit(lambda p: enc.apply({"params": enc_params}, p))
+
+    results = run_sweep(ds, loader, pipe, embed, 47, 34, guidances=(1.0,))
+    (guidance, fid, align, div, srgr) = results[0]
+    assert guidance == 1.0
+    assert np.isfinite(fid)
+    assert np.isfinite(srgr) and 0.0 <= srgr <= 1.0
+    assert np.isfinite(align)
+    assert np.isfinite(div)
+
+
 def test_rag_sampler_inpainting(rng_np):
     """Seed-frame inpainting through the sampler (test-time constraint path,
     gaussian_diffusion.py:314-320)."""
