@@ -146,3 +146,81 @@ def test_ted_embedding_matches_reference(rng_np):
     np.testing.assert_allclose(
         np.asarray(our_feat), ref_feat.numpy(), atol=2e-4
     )
+
+
+@requires_reference
+def test_fgd_parity_vs_reference_evaluator(tmp_path, rng_np):
+    """North-star parity: the SAME (generated, real) clips scored by the
+    reference's full EmbeddingSpaceEvaluator (ted_evaluator.py:13-151) and
+    ours must give FGD within 1% (BASELINE.md target).  Combined with the
+    e2e generation-parity test this closes the loop: same clips AND same
+    scores."""
+    import types
+
+    import torch
+
+    # ted_evaluator imports umap (viz-only, absent here) and pins cuda:0 at
+    # module level; stub the former, repoint the latter.
+    sys.modules.setdefault("umap", types.ModuleType("umap"))
+    sys.path.insert(0, f"{REFERENCE_ROOT}/scripts")
+    import importlib
+
+    tev = importlib.import_module("model.ted_evaluator")
+    tev.device = torch.device("cpu")
+    from model.embedding_net import EmbeddingNet
+
+    torch.manual_seed(11)
+    net = EmbeddingNet(pose_dim=27, n_frames=34)
+    ckpt_path = str(tmp_path / "gesture_autoencoder_checkpoint_best.bin")
+    torch.save({"gen_dict": net.state_dict(), "pose_dim": 27}, ckpt_path)
+
+    ref_ev = tev.EmbeddingSpaceEvaluator(ckpt_path)
+    our_ev = EmbeddingSpaceEvaluator.from_torch_checkpoint(ckpt_path)
+
+    # strongly distinct distributions (noise vs structured sinusoids) so the
+    # random-weight embedder still separates them and FGD is away from zero
+    tgrid = np.arange(34, dtype=np.float32)[None, :, None]
+    for k in range(4):
+        gen = rng_np.normal(size=(16, 34, 27)).astype(np.float32) * 1.5
+        phase = rng_np.uniform(0, 6.28, size=(16, 1, 27)).astype(np.float32)
+        real = (2.0 * np.sin(0.5 * tgrid + phase) + 1.0).astype(np.float32)
+        with torch.no_grad():
+            ref_ev.push_samples(
+                torch.from_numpy(gen), torch.from_numpy(real)
+            )
+        our_ev.push_samples(gen, real)
+
+    ref_fgd, ref_fd = ref_ev.get_scores()
+    our_fgd, our_fd = our_ev.get_scores()
+    assert ref_fgd > 1e-4
+    assert abs(our_fgd - ref_fgd) / abs(ref_fgd) < 0.01, (our_fgd, ref_fgd)
+    assert abs(our_fd - ref_fd) / abs(ref_fd) < 0.01, (our_fd, ref_fd)
+
+
+@requires_reference
+def test_srgr_parity_vs_reference(rng_np):
+    """Our SRGR accumulator vs the reference's on identical inputs
+    (scripts_beat/utils/metric.py:27-51)."""
+    import types
+
+    # metric.py imports librosa + matplotlib at module level; only the
+    # numpy-based SRGR class is exercised here.
+    fake_librosa = types.ModuleType("librosa")
+    fake_librosa.display = types.ModuleType("librosa.display")
+    sys.modules.setdefault("librosa", fake_librosa)
+    sys.modules.setdefault("librosa.display", fake_librosa.display)
+    sys.path.insert(0, f"{REFERENCE_ROOT}/scripts_beat")
+    import importlib
+
+    ref_metric = importlib.import_module("utils.metric")
+
+    ref = ref_metric.SRGR(threshold=4.0, joints=47)
+    ours = SRGR(threshold=4.0, joints=47)
+    for _ in range(3):
+        res = rng_np.normal(size=(68, 141)).astype(np.float32) * 3
+        tar = rng_np.normal(size=(68, 141)).astype(np.float32) * 3
+        sem = rng_np.uniform(0, 1, size=(68,)).astype(np.float32)
+        r1 = ref.run(res, tar, sem)
+        r2 = ours.run(res, tar, sem)
+        np.testing.assert_allclose(r2, r1, rtol=1e-6)
+    np.testing.assert_allclose(ours.avg(), ref.avg(), rtol=1e-6)
