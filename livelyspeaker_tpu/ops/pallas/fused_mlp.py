@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pack_transmlp_params", "fused_transmlp"]
+__all__ = ["pack_transmlp_params", "pack_out_proj", "fused_transmlp"]
 
 _LANE = 128
 _SUBLANE = 8
@@ -109,11 +109,15 @@ def _kernel(
     ln2s_ref, ln2b_ref,  # [L, D]
     cw_ref,  # [L, D, D]
     cb_ref,  # [L, D]
-    out_ref,  # [S_pad, TB, D]
-    *,
+    *rest,  # optional (ow_ref [D, P], ob_ref [1, P]), then out_ref
     num_layers: int,
     act,
+    with_out_proj: bool,
 ):
+    if with_out_proj:
+        ow_ref, ob_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     s_pad, tb, d = x_ref.shape
     dt = x_ref.dtype
     x = x_ref[:]
@@ -148,7 +152,31 @@ def _kernel(
         ).reshape(s_pad, tb, d)
         hc = hc + cb_ref[l][None, None].astype(jnp.float32)
         x = x + act(hc).astype(dt)
-    out_ref[:] = x
+    if with_out_proj:
+        # Final pose projection fused in: writes a P-wide (<= D/4) tile back
+        # to HBM instead of the full D-wide activation.
+        y = jax.lax.dot_general(
+            x.reshape(s_pad * tb, d).astype(ow_ref.dtype),
+            ow_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = ow_ref.shape[1]
+        out_ref[:] = (y + ob_ref[:]).reshape(s_pad, tb, p).astype(out_ref.dtype)
+    else:
+        out_ref[:] = x
+
+
+def pack_out_proj(kernel, bias, dtype=jnp.float32) -> Dict:
+    """Pad a [D, F] output projection to the lane tile for in-kernel fusion.
+
+    Returns {'out_w': [D, P], 'out_b': [1, P]} with P = F rounded up to 128.
+    """
+    d, f = kernel.shape
+    p = _round_up(f, _LANE)
+    ow = jnp.zeros((d, p), dtype).at[:, :f].set(jnp.asarray(kernel))
+    ob = jnp.zeros((1, p), jnp.float32).at[0, :f].set(jnp.asarray(bias))
+    return {"out_w": ow, "out_b": ob}
 
 
 @functools.partial(jax.jit, static_argnames=("act_name", "batch_tile"))
@@ -158,8 +186,14 @@ def fused_transmlp(
     packed: Dict,
     act_name: str = "silu",
     batch_tile: int = 8,
+    out_proj: Dict | None = None,
 ) -> jnp.ndarray:
-    """Run the full mixer stack. Matches TransMLP.__call__ output exactly."""
+    """Run the full mixer stack. Matches TransMLP.__call__ output exactly.
+
+    With ``out_proj`` (from :func:`pack_out_proj`), the final Linear is fused
+    into the kernel and the return is [B, S, P] (caller slices the real
+    feature count); otherwise [B, S, D] as before.
+    """
     act = {"silu": jax.nn.silu, "relu": jax.nn.relu,
            "gelu": jax.nn.gelu}[act_name]
     b, s, d = x.shape
@@ -189,8 +223,20 @@ def fused_transmlp(
     )
     tile_bytes = s_pad * tb * d * x.dtype.itemsize
     vmem_limit = min(int(wbytes + 10 * tile_bytes) + (1 << 20), 100 << 20)
+
+    with_out_proj = out_proj is not None
+    p_out = out_proj["out_w"].shape[1] if with_out_proj else d
+    extra_inputs = []
+    extra_specs = []
+    if with_out_proj:
+        extra_inputs = [out_proj["out_w"], out_proj["out_b"]]
+        extra_specs = [full(d, p_out), full(1, p_out)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, num_layers=num_layers, act=act),
+        functools.partial(
+            _kernel, num_layers=num_layers, act=act,
+            with_out_proj=with_out_proj,
+        ),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit,
@@ -208,15 +254,15 @@ def fused_transmlp(
             full(l, d),
             full(l, d, d),
             full(l, d),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec(
-            (s_pad, tb, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (s_pad, tb, p_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((s_pad, b_pad, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((s_pad, b_pad, p_out), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * num_layers * (s_pad * s_pad * d + s_pad * d * d),
             bytes_accessed=(
-                s_pad * b_pad * d * 4 * 2
+                s_pad * b_pad * (d + p_out) * 4
                 + num_layers * (s_pad * s_pad + d * d) * 4
             ),
             transcendentals=num_layers * 2 * s_pad * b_pad * d,
@@ -232,5 +278,6 @@ def fused_transmlp(
         packed["ln2_bias"],
         packed["ch_w"],
         packed["ch_b"],
+        *extra_inputs,
     )
     return out[:s, :b].transpose(1, 0, 2)
