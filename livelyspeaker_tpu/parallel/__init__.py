@@ -9,3 +9,10 @@ from .mesh import (
     replicated,
     shard_params,
 )
+from .pipeline import (
+    STAGE_AXIS,
+    create_pipeline_mesh,
+    pipeline_forward,
+    pipeline_spec,
+    stack_block_params,
+)

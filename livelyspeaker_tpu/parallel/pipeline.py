@@ -1,0 +1,204 @@
+"""GPipe-style pipeline parallelism over the TransMLP mixer stack.
+
+The reference has no pipeline story at all — its distributed scaffolding is
+vestigial and disabled (``scripts/mdm_utils/dist_util.py:26-41``,
+``use_ddp=False`` at ``scripts/train_utils/train_loop.py:79``).  This module
+exists so the same backbone code scales past one chip's HBM/FLOPs when
+``num_layers``/``dim`` grow, complementing the DP ('data') and TP ('model')
+axes in :mod:`livelyspeaker_tpu.parallel.mesh`.
+
+TPU-native design:
+
+* the L identical mixer blocks are stacked layer-major (the same layout
+  :func:`~livelyspeaker_tpu.ops.pallas.fused_mlp.pack_transmlp_params` uses)
+  and the leading layer axis is sharded over a ``'stage'`` mesh axis — each
+  stage holds L/S consecutive blocks;
+* a single :func:`jax.shard_map` program rotates microbatch activations
+  stage-to-stage with ``lax.ppermute`` over ICI while each stage scans its
+  local blocks — the whole M-microbatch, (M+S-1)-tick schedule is ONE
+  ``lax.scan``, one XLA program, no host round-trips;
+* ``ppermute``/``scan`` are differentiable, so the same program trains: the
+  backward pass pipelines in reverse automatically under ``jax.grad``.
+
+Composable with data parallelism: pass a mesh with ('data', 'stage') axes
+and each data-row runs an independent pipeline over its batch shard.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from livelyspeaker_tpu.models.mlp_backbone import get_activation
+
+__all__ = [
+    "STAGE_AXIS",
+    "create_pipeline_mesh",
+    "stack_block_params",
+    "pipeline_spec",
+    "pipeline_forward",
+]
+
+STAGE_AXIS = "stage"
+DATA_AXIS = "data"
+
+
+def create_pipeline_mesh(
+    n_devices: Optional[int] = None,
+    pipeline_parallel: int = 2,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """('data', 'stage') mesh: inner (fast-ICI) axis carries the pipeline."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % pipeline_parallel == 0, (n, pipeline_parallel)
+    arr = np.asarray(devices).reshape(n // pipeline_parallel, pipeline_parallel)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+
+
+def stack_block_params(backbone_params: Dict, num_layers: int) -> Dict:
+    """Stack per-block Flax params (``block_0..block_{L-1}``, the
+    :class:`~livelyspeaker_tpu.models.mlp_backbone.MLPBlock` tree) into
+    layer-major arrays with a leading L axis — the axis the 'stage' mesh
+    axis shards."""
+    blocks = [backbone_params[f"block_{i}"] for i in range(num_layers)]
+
+    def stk(fn):
+        return jnp.stack([jnp.asarray(fn(b)) for b in blocks])
+
+    return {
+        "ln1_scale": stk(lambda b: b["ln1"]["scale"]),  # [L, D]
+        "ln1_bias": stk(lambda b: b["ln1"]["bias"]),
+        "token_w": stk(lambda b: b["token_mix_kernel"]),  # [L, T, T]
+        "token_b": stk(lambda b: b["token_mix_bias"]),  # [L, T]
+        "ln2_scale": stk(lambda b: b["ln2"]["scale"]),
+        "ln2_bias": stk(lambda b: b["ln2"]["bias"]),
+        "ch_w": stk(lambda b: b["channel_mix"]["kernel"]),  # [L, D, D]
+        "ch_b": stk(lambda b: b["channel_mix"]["bias"]),
+    }
+
+
+def pipeline_spec(stacked: Dict) -> Dict:
+    """PartitionSpec tree sharding the leading layer axis over 'stage'."""
+    return {k: P(STAGE_AXIS) for k in stacked}
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _block(p: Dict, x: jnp.ndarray, emb: jnp.ndarray, act) -> jnp.ndarray:
+    """One mixer block on stacked-layout params — numerically identical to
+    MLPBlock.__call__ (mlp_backbone.py:79-113; reference mlp_module.py:37-74).
+    """
+    x = x + emb
+    h = _ln(x, p["ln1_scale"], p["ln1_bias"])
+    h = jnp.einsum("ij,bjd->bid", p["token_w"], h) + p["token_b"][None, :, None]
+    x = x + act(h)
+    h = _ln(x, p["ln2_scale"], p["ln2_bias"])
+    h = h @ p["ch_w"] + p["ch_b"]
+    x = x + act(h)
+    return x
+
+
+def pipeline_forward(
+    stacked: Dict,
+    x: jnp.ndarray,
+    emb: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    num_microbatches: Optional[int] = None,
+    act: str = "silu",
+    data_sharded: bool = True,
+):
+    """Run the full mixer stack over the mesh's 'stage' axis.
+
+    Args:
+      stacked: layer-major params from :func:`stack_block_params`; the
+        leading L axis is sharded over 'stage' (L % S == 0).
+      x: [B, T, D] activations (post input-projection, pre block_0).
+      emb: [B, 1, D] per-clip timestep embedding (added at EVERY block, the
+        reference's per-block t-injection, mlp_module.py:83-87).
+      mesh: a Mesh containing a 'stage' axis (and optionally 'data').
+      num_microbatches: M; defaults to S. Per-pipeline batch must divide M.
+      data_sharded: also shard the batch over the mesh's 'data' axis.
+
+    Returns:
+      [B, T, D], bitwise-independent of S and M (same float ops per block).
+    """
+    S = mesh.shape[STAGE_AXIS]
+    L = stacked["ch_w"].shape[0]
+    assert L % S == 0, f"layers {L} not divisible by stages {S}"
+    M = num_microbatches if num_microbatches is not None else S
+    act_fn = get_activation(act)
+    dspec = DATA_AXIS if (data_sharded and DATA_AXIS in mesh.shape) else None
+
+    def device_fn(params_local, x_local, emb_local):
+        idx = jax.lax.axis_index(STAGE_AXIS)
+        b = x_local.shape[0]
+        assert b % M == 0, f"per-pipeline batch {b} not divisible by M={M}"
+        mb = b // M
+        x_mb = x_local.reshape(M, mb, *x_local.shape[1:])
+        emb_mb = emb_local.reshape(M, mb, *emb_local.shape[1:])
+
+        def run_stage(h, e):
+            def body(carry, p):
+                return _block(p, carry, e, act_fn), None
+
+            h, _ = jax.lax.scan(body, h, params_local)
+            return h
+
+        def tick(carry, t):
+            state, outputs = carry
+            # Microbatch m enters stage 0 at tick m and reaches stage s at
+            # tick m+s, so stage `idx` holds microbatch t-idx at tick t.
+            m_here = jnp.clip(t - idx, 0, M - 1)
+            inp = jnp.where(
+                idx == 0,
+                jax.lax.dynamic_index_in_dim(x_mb, m_here, 0, keepdims=False),
+                state,
+            )
+            e = jax.lax.dynamic_index_in_dim(emb_mb, m_here, 0, keepdims=False)
+            h = run_stage(inp, e)
+            # The last stage finishes microbatch t-(S-1) at tick t.
+            oi = jnp.clip(t - (S - 1), 0, M - 1)
+            write = jnp.logical_and(idx == S - 1, t >= S - 1)
+            cur = jax.lax.dynamic_index_in_dim(outputs, oi, 0, keepdims=False)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs, jnp.where(write, h, cur), oi, 0
+            )
+            state = jax.lax.ppermute(
+                h, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)]
+            )
+            return (state, outputs), None
+
+        init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
+        (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
+        # Replicate the result (valid only on the last stage) over 'stage'.
+        outputs = jax.lax.psum(
+            jnp.where(idx == S - 1, outputs, jnp.zeros_like(outputs)),
+            STAGE_AXIS,
+        )
+        return outputs.reshape(b, *x_local.shape[1:])
+
+    return shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(pipeline_spec(stacked), P(dspec), P(dspec)),
+        out_specs=P(dspec),
+        check_vma=False,
+    )(stacked, x, emb)

@@ -1,0 +1,228 @@
+"""Production serving: dynamic-batching gesture generation.
+
+The reference is research code with no serving story (its eval scripts loop
+over a fixed dataset, ``scripts/test_RAG_ted.py:142-193``); a production
+deployment needs the opposite shape: requests arrive one at a time, but the
+TPU wants large fixed-shape batches. This module bridges the two:
+
+* :class:`GestureBatcher` — a background worker that coalesces concurrent
+  requests into one fixed-size batch (pad-to-``max_batch``, so exactly ONE
+  executable is ever compiled per server), runs the jitted sampler once, and
+  fans results back out. Per-sample guidance scales ride the CFG wrapper's
+  [B]-shaped scale support (models/cfg.py:61-63), so requests with different
+  guidance share a batch.
+* serving defaults favor the measured-best quality/latency point:
+  DPM-Solver++(2M) at 20 steps — *better* FGD than the reference's DDIM-100
+  eval protocol at 5x fewer denoiser passes (docs/DESIGN.md §9).
+
+The HTTP front-end lives in ``scripts/serve.py`` (stdlib ThreadingHTTPServer,
+JSON API); this module is transport-agnostic.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import audio_samples_for_frames
+from .pipeline import LivelySpeakerPipeline, RAGSampler
+
+__all__ = ["ServeConfig", "GestureRequest", "GestureBatcher", "build_rag_server"]
+
+
+@dataclass
+class ServeConfig:
+    max_batch: int = 8
+    max_wait_ms: float = 25.0
+    default_guidance: float = 1.5
+    steps: int = 1000
+    timestep_respacing: Optional[str] = "ddim20"
+    sampler: str = "dpmpp"  # measured: beats ddim100 FGD at 5x fewer passes
+    use_fused: bool = True  # Pallas fused backbone on TPU
+    seed: int = 0
+
+
+@dataclass
+class GestureRequest:
+    audio: np.ndarray  # [samples] f32 waveform @ 16 kHz (padded/trimmed)
+    speaker: int = 0
+    guidance: Optional[float] = None
+    text: Optional[str] = None  # routes through the SAG composition if set
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None  # [njoints, nfeats, nframes]
+    error: Optional[BaseException] = None
+    batch_size: int = 0  # observability: how many requests shared the batch
+
+    def wait(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self.done.wait(timeout):
+            raise TimeoutError("gesture generation timed out")
+        if self.error is not None:
+            raise self.error
+        assert self.result is not None
+        return self.result
+
+
+_SHUTDOWN = object()
+
+
+class GestureBatcher:
+    """Coalesce concurrent requests into fixed-shape sampler batches.
+
+    One worker thread owns the device: it drains the queue up to
+    ``max_batch`` requests (waiting at most ``max_wait_ms`` after the first),
+    pads the batch to exactly ``max_batch`` rows, and runs the sampler once.
+    Padding rows reuse row 0's conditioning and are discarded — the cost of a
+    padded row is already paid by the fixed executable shape.
+    """
+
+    def __init__(
+        self,
+        sampler: RAGSampler,
+        cfg: ServeConfig,
+        *,
+        composition: Optional[LivelySpeakerPipeline] = None,
+    ):
+        self.sampler = sampler
+        self.cfg = cfg
+        self.composition = composition
+        c = sampler.model.cfg
+        self.n_samples = audio_samples_for_frames(c.nframes)
+        self._shape = (c.njoints, c.nfeats, c.nframes)
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self._batches_served = 0
+        self._requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- client
+    def submit(
+        self,
+        audio: np.ndarray,
+        *,
+        speaker: int = 0,
+        guidance: Optional[float] = None,
+        text: Optional[str] = None,
+    ) -> GestureRequest:
+        a = np.zeros((self.n_samples,), np.float32)
+        src = np.asarray(audio, np.float32).reshape(-1)[: self.n_samples]
+        a[: src.shape[0]] = src
+        req = GestureRequest(audio=a, speaker=speaker, guidance=guidance, text=text)
+        self._q.put(req)
+        return req
+
+    def generate(self, audio: np.ndarray, timeout: float = 300.0, **kw) -> np.ndarray:
+        return self.submit(audio, **kw).wait(timeout)
+
+    def stats(self) -> Dict[str, float]:
+        return {
+            "batches_served": self._batches_served,
+            "requests_served": self._requests_served,
+            "mean_batch_occupancy": (
+                self._requests_served / self._batches_served
+                if self._batches_served
+                else 0.0
+            ),
+        }
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(_SHUTDOWN)
+        self._worker.join(timeout=10)
+
+    # ------------------------------------------------------------- worker
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is _SHUTDOWN:
+                return
+            batch: List[GestureRequest] = [first]
+            deadline = time.monotonic() + self.cfg.max_wait_ms / 1000.0
+            while len(batch) < self.cfg.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is _SHUTDOWN:
+                    self._stop.set()
+                    break
+                batch.append(item)
+            try:
+                self._serve(batch)
+            except BaseException as e:  # propagate to every waiter
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+
+    def _serve(self, batch: Sequence[GestureRequest]) -> None:
+        n, bsz = len(batch), self.cfg.max_batch
+        audio = np.zeros((bsz, self.n_samples), np.float32)
+        vid = np.zeros((bsz,), np.int64)
+        guidance = np.full((bsz,), self.cfg.default_guidance, np.float32)
+        for i, r in enumerate(batch):
+            audio[i] = r.audio
+            vid[i] = r.speaker
+            if r.guidance is not None:
+                guidance[i] = r.guidance
+        # Padding rows replicate row 0 (fixed shapes; results discarded).
+        if n < bsz:
+            audio[n:] = audio[0]
+            vid[n:] = vid[0]
+
+        cond = {
+            "audio": jnp.asarray(audio),
+            "vid": jnp.asarray(vid),
+            "origin_x": jnp.zeros((bsz,) + self._shape, jnp.float32),
+        }
+        self._key, sub = jax.random.split(self._key)
+
+        texts = [r.text for r in batch]
+        if self.composition is not None and any(t for t in texts):
+            sentences = [(t or "") for t in texts] + [""] * (bsz - n)
+            out = self.composition(
+                sentences, cond, sub, guidance=jnp.asarray(guidance)
+            )
+        else:
+            out = self.sampler(cond, sub, guidance=jnp.asarray(guidance))
+        out_np = np.asarray(jax.block_until_ready(out))
+
+        self._batches_served += 1
+        self._requests_served += n
+        for i, r in enumerate(batch):
+            r.result = out_np[i]
+            r.batch_size = n
+            r.done.set()
+
+
+def build_rag_server(
+    model,
+    params,
+    cfg: Optional[ServeConfig] = None,
+    *,
+    composition: Optional[LivelySpeakerPipeline] = None,
+) -> GestureBatcher:
+    """Wire a RAG model + params into a ready-to-serve batcher."""
+    cfg = cfg or ServeConfig()
+    sampler = RAGSampler(
+        model,
+        params,
+        steps=cfg.steps,
+        timestep_respacing=cfg.timestep_respacing,
+        method=cfg.sampler,
+        use_fused=cfg.use_fused,
+    )
+    return GestureBatcher(sampler, cfg, composition=composition)

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""HTTP gesture-generation server (production serving front-end).
+
+JSON API over stdlib ThreadingHTTPServer; the device work runs through the
+dynamic batcher in ``livelyspeaker_tpu/serving.py`` (fixed-shape batches,
+one compiled executable, per-sample guidance).
+
+    POST /v1/generate   {"audio": [f32...] | "audio_b64": base64 f32le,
+                         "speaker": 0, "guidance": 1.5, "text": "..."}
+        -> {"motion": [[...]...], "shape": [J, F, T], "batch_size": n,
+            "latency_ms": ...}
+    GET  /healthz       {"ok": true, "devices": [...]}
+    GET  /stats         batcher occupancy counters
+
+Example:
+    python scripts/serve.py --model_path ckpts/TED/RAG.npz --port 8000
+    curl -s localhost:8000/v1/generate -d '{"audio": [0.0], "speaker": 3}'
+
+The reference has no serving path (research eval loops only,
+scripts/test_RAG_ted.py:142-193).
+"""
+
+import argparse
+import base64
+import json
+import os
+import sys
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
+_jax_setup()
+
+import jax
+import numpy as np
+
+
+def make_handler(batcher):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(
+                    200,
+                    {"ok": True, "devices": [str(d) for d in jax.devices()]},
+                )
+            elif self.path == "/stats":
+                self._json(200, batcher.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "audio_b64" in req:
+                    audio = np.frombuffer(
+                        base64.b64decode(req["audio_b64"]), np.float32
+                    )
+                else:
+                    audio = np.asarray(req.get("audio", []), np.float32)
+                t0 = time.monotonic()
+                r = batcher.submit(
+                    audio,
+                    speaker=int(req.get("speaker", 0)),
+                    guidance=(
+                        float(req["guidance"]) if "guidance" in req else None
+                    ),
+                    text=req.get("text"),
+                )
+                motion = r.wait(timeout=float(req.get("timeout", 300.0)))
+                resp = {
+                    "motion": motion.tolist(),
+                    "shape": list(motion.shape),
+                    "batch_size": r.batch_size,
+                    "latency_ms": (time.monotonic() - t0) * 1e3,
+                }
+                if req.get("text") and batcher.composition is None:
+                    # RAG-only deployment: no SAG/CLIP checkpoints loaded.
+                    resp["text_ignored"] = True
+                self._json(200, resp)
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--timestep_respacing", type=str, default="ddim20")
+    p.add_argument("--sampler", type=str, default="dpmpp",
+                   choices=["ddpm", "ddim", "plms", "dpmpp"])
+    p.add_argument("--no_fused", action="store_true")
+    p.add_argument("--guidance", type=float, default=1.5)
+    args = p.parse_args()
+
+    from livelyspeaker_tpu.models import RAG, RAGConfig
+    from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
+    from livelyspeaker_tpu.training.checkpoints import load_args, load_params_npz
+
+    try:
+        saved = load_args(args.model_path)  # args.json next to the ckpt
+    except FileNotFoundError:
+        saved = {}
+    cfg = RAGConfig(
+        njoints=saved.get("njoints", 9),
+        nfeats=saved.get("nfeats", 3),
+        nframes=saved.get("n_poses", 34),
+        latent_dim=saved.get("latent_dim", 512),
+        num_layers=saved.get("layers", 8),
+        mlpact=saved.get("mlpact", "silu"),
+        n_speakers=saved.get("n_speakers", 1400),
+        num_emotions=saved.get("num_emotions", 0),
+        cond_mask_prob=saved.get("cond_mask_prob", 0.1),
+    )
+    model = RAG(cfg)
+    params = load_params_npz(args.model_path)
+
+    batcher = build_rag_server(
+        model,
+        params,
+        ServeConfig(
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            default_guidance=args.guidance,
+            steps=args.steps,
+            timestep_respacing=args.timestep_respacing or None,
+            sampler=args.sampler,
+            use_fused=not args.no_fused,
+        ),
+    )
+    # Warm the executable before accepting traffic (first compile ~20-40 s).
+    batcher.generate(np.zeros(16000, np.float32))
+    print(f"warm; serving on http://{args.host}:{args.port}")
+
+    srv = ThreadingHTTPServer((args.host, args.port), make_handler(batcher))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Serving layer: dynamic batcher + HTTP front-end (tiny model, CPU)."""
+
+import importlib.util
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from livelyspeaker_tpu.models import RAG, RAGConfig, audio_samples_for_frames
+from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_server(max_batch=4, max_wait_ms=100.0):
+    cfg = RAGConfig(latent_dim=64, num_layers=2, n_speakers=4)
+    model = RAG(cfg)
+    rng = np.random.default_rng(0)
+    nf = cfg.nframes
+    cond = {
+        "audio": np.zeros((2, audio_samples_for_frames(nf)), np.float32),
+        "vid": np.zeros((2,), np.int64),
+        "origin_x": np.zeros((2, cfg.njoints, cfg.nfeats, nf), np.float32),
+    }
+    x = rng.normal(size=(2, cfg.njoints, cfg.nfeats, nf)).astype(np.float32)
+    t = rng.integers(0, 50, size=(2,))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        x,
+        t,
+        {k: np.asarray(v) for k, v in cond.items()},
+    )["params"]
+    serve_cfg = ServeConfig(
+        max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+        steps=50,
+        timestep_respacing="ddim5",
+        sampler="ddim",
+        use_fused=False,  # Pallas fast path is TPU-only; XLA path on CPU
+    )
+    return build_rag_server(model, params, serve_cfg), cfg
+
+
+def test_batcher_coalesces_and_pads():
+    batcher, cfg = _tiny_server()
+    try:
+        audio = np.random.default_rng(1).normal(size=16000).astype(np.float32)
+        reqs = [
+            batcher.submit(audio, speaker=i % 4, guidance=1.0 + 0.5 * i)
+            for i in range(3)
+        ]
+        outs = [r.wait(timeout=600) for r in reqs]
+        for o in outs:
+            assert o.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
+            assert np.isfinite(o).all()
+        st = batcher.stats()
+        assert st["requests_served"] == 3
+        assert st["batches_served"] <= 3
+        # different guidance => different clips (per-sample CFG scale works)
+        assert not np.allclose(outs[0], outs[1])
+    finally:
+        batcher.close()
+
+
+def test_batcher_audio_pad_and_trim():
+    batcher, cfg = _tiny_server(max_batch=2)
+    try:
+        short = batcher.generate(np.ones(100, np.float32), timeout=600)
+        long = batcher.generate(np.ones(10**6, np.float32), timeout=600)
+        assert short.shape == long.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
+    finally:
+        batcher.close()
+
+
+def test_batcher_error_propagates():
+    batcher, _ = _tiny_server(max_batch=2)
+    try:
+        # Poison the sampler; the waiter must receive the exception.
+        def boom(*a, **k):
+            raise RuntimeError("kaboom")
+
+        batcher.sampler = type("S", (), {"__call__": staticmethod(boom),
+                                         "model": batcher.sampler.model})()
+        req = batcher.submit(np.zeros(10, np.float32))
+        with pytest.raises(RuntimeError, match="kaboom"):
+            req.wait(timeout=60)
+    finally:
+        batcher.close()
+
+
+def test_http_server_roundtrip():
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", os.path.join(ROOT, "scripts", "serve.py")
+    )
+    serve_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_cli)
+
+    batcher, cfg = _tiny_server(max_batch=2, max_wait_ms=10.0)
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_cli.make_handler(batcher)
+    )
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        body = json.dumps(
+            {"audio": [0.1] * 1000, "speaker": 1, "guidance": 1.5}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert out["shape"] == [cfg.njoints, cfg.nfeats, cfg.nframes]
+        assert out["batch_size"] >= 1
+        assert out["latency_ms"] > 0
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            assert json.loads(r.read())["requests_served"] >= 1
+    finally:
+        srv.shutdown()
+        batcher.close()
