@@ -12,6 +12,7 @@ import time
 from typing import Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .checkpoints import CheckpointManager, save_args
@@ -60,6 +61,9 @@ class TrainLoop:
         self.rng = jax.random.PRNGKey(seed)
 
         tx = make_optimizer(self.cfg)
+        # Private copy: step_fn donates the state (donate_argnums=0), which
+        # would otherwise delete the CALLER's param buffers on step 1.
+        params = jax.tree.map(lambda p: jnp.array(p), params)
         self.state = init_train_state(
             params, tx, cfg=self.cfg, num_timesteps=sched.num_timesteps
         )
@@ -76,15 +80,20 @@ class TrainLoop:
                 self.state = restored
                 self.start_step = step
                 print(f"resumed from step {step}")
+        # Host-side step mirror: the hot loop must never read
+        # ``state.step`` (a device array — int() blocks on the in-flight
+        # step and serializes dispatches, adding the full ~25-30 ms host
+        # dispatch latency to every step on remote-dispatch hosts).
+        self.host_step = self.start_step
 
     @property
     def step(self) -> int:
-        return int(self.state.step)
+        return self.host_step
 
     def _anneal_done(self) -> bool:
         return bool(
             self.cfg.lr_anneal_steps
-            and self.step >= self.cfg.lr_anneal_steps
+            and self.host_step >= self.cfg.lr_anneal_steps
         )
 
     def run_loop(self) -> TrainState:
@@ -93,7 +102,11 @@ class TrainLoop:
             for batch in self.data:
                 if self._anneal_done():
                     break
-                self.rng, step_rng = jax.random.split(self.rng)
+                # Key derived from the GLOBAL step (not a sequential split):
+                # a resumed run replays the exact key stream of an
+                # uninterrupted one, making resume RNG-exact
+                # (tests/test_training.py::test_resume_is_bit_exact).
+                step_rng = jax.random.fold_in(self.rng, self.host_step)
                 dev_batch = {
                     k: v
                     for k, v in batch.items()
@@ -102,7 +115,8 @@ class TrainLoop:
                 self.state, metrics = self.step_fn(
                     self.state, dev_batch, step_rng
                 )
-                if self.step % self.log_interval == 0:
+                self.host_step += 1
+                if self.host_step % self.log_interval == 0:
                     t = np.asarray(metrics.pop("t"))
                     loss_ps = np.asarray(metrics.pop("loss_per_sample"))
                     log_loss_quartiles(

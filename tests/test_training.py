@@ -219,6 +219,70 @@ def test_trainloop_ema_export_and_quartile_logging(tmp_path, rng_np):
     assert any(k.startswith("loss_q") for k in keys), keys
 
 
+def test_resume_is_bit_exact(tmp_path, rng_np):
+    """Kill-and-resume must replay the exact uninterrupted trajectory:
+    step keys are fold_in(base, global_step) (loop.py), so the RNG stream —
+    and therefore every float op — is identical after an orbax restore."""
+    from livelyspeaker_tpu.training.loop import TrainLoop
+
+    cfg = RAGConfig.ted(latent_dim=32, num_layers=1)
+    model = RAG(cfg)
+    batches = []
+    for _ in range(2):
+        batches.append({
+            "motion": rng_np.normal(size=(B, 9, 3, 34)).astype(np.float32)
+            * 0.3,
+            "audio": rng_np.normal(
+                size=(B, audio_samples_for_frames(34))
+            ).astype(np.float32),
+            "vid": rng_np.integers(0, 1400, size=(B,)),
+        })
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1),
+         "cond_mask": jax.random.PRNGKey(2)},
+        jnp.asarray(batches[0]["motion"]),
+        jnp.zeros((B,), jnp.int32),
+        {"audio": jnp.asarray(batches[0]["audio"]),
+         "vid": jnp.asarray(batches[0]["vid"]),
+         "origin_x": jnp.asarray(batches[0]["motion"])},
+        train=True,
+    )["params"]
+    sched = DiffusionSchedule.create(steps=20)
+
+    def mk(save_dir, epochs, resume=False):
+        return TrainLoop(
+            model,
+            sched,
+            params,
+            batches,
+            cfg=TrainConfig(lr=1e-3),
+            save_dir=save_dir,
+            num_epochs=epochs,
+            log_interval=1000,
+            save_after_epoch=-1,
+            save_every_epochs=1,
+            seed=7,
+            resume=resume,
+        )
+
+    # Uninterrupted: 4 epochs x 2 batches = 8 steps.
+    full = mk(str(tmp_path / "full"), 4).run_loop()
+    # Interrupted: 2 epochs, then a fresh TrainLoop resumes for 2 more.
+    mk(str(tmp_path / "split"), 2).run_loop()
+    resumed_loop = mk(str(tmp_path / "split"), 2, resume=True)
+    assert resumed_loop.start_step == 4
+    resumed = resumed_loop.run_loop()
+
+    assert int(resumed.step) == int(full.step) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        full.params,
+        resumed.params,
+    )
+
+
 def test_params_npz_roundtrip(tmp_path, rng_np):
     params = {
         "a": {"kernel": rng_np.normal(size=(3, 4)).astype(np.float32)},
