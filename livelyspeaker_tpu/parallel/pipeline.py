@@ -50,20 +50,32 @@ __all__ = [
 
 STAGE_AXIS = "stage"
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def create_pipeline_mesh(
     n_devices: Optional[int] = None,
     pipeline_parallel: int = 2,
+    model_parallel: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """('data', 'stage') mesh: inner (fast-ICI) axis carries the pipeline."""
+    """('data', 'stage'[, 'model']) mesh: the innermost (fastest-ICI) axis
+    carries tensor parallelism when requested, the middle one the pipeline."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % pipeline_parallel == 0, (n, pipeline_parallel)
+    assert n % (pipeline_parallel * model_parallel) == 0, (
+        n, pipeline_parallel, model_parallel,
+    )
+    if model_parallel > 1:
+        arr = np.asarray(devices).reshape(
+            n // (pipeline_parallel * model_parallel),
+            pipeline_parallel,
+            model_parallel,
+        )
+        return Mesh(arr, (DATA_AXIS, STAGE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n // pipeline_parallel, pipeline_parallel)
     return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
 
@@ -90,9 +102,18 @@ def stack_block_params(backbone_params: Dict, num_layers: int) -> Dict:
     }
 
 
-def pipeline_spec(stacked: Dict) -> Dict:
-    """PartitionSpec tree sharding the leading layer axis over 'stage'."""
-    return {k: P(STAGE_AXIS) for k in stacked}
+def pipeline_spec(stacked: Dict, tensor_parallel: bool = False) -> Dict:
+    """PartitionSpec tree sharding the leading layer axis over 'stage'.
+
+    With ``tensor_parallel``, the channel-mix weight is additionally
+    column-sharded over 'model' (output-dim TP, same rule as
+    mesh.py:_PARAM_RULES) — each TP rank computes a D/TP slice of the mix
+    and an all-gather reforms the activation."""
+    spec = {k: P(STAGE_AXIS) for k in stacked}
+    if tensor_parallel:
+        spec["ch_w"] = P(STAGE_AXIS, None, MODEL_AXIS)
+        spec["ch_b"] = P(STAGE_AXIS, MODEL_AXIS)
+    return spec
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -101,9 +122,16 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _block(p: Dict, x: jnp.ndarray, emb: jnp.ndarray, act) -> jnp.ndarray:
+def _block(
+    p: Dict, x: jnp.ndarray, emb: jnp.ndarray, act, tp: bool = False
+) -> jnp.ndarray:
     """One mixer block on stacked-layout params — numerically identical to
     MLPBlock.__call__ (mlp_backbone.py:79-113; reference mlp_module.py:37-74).
+
+    With ``tp``, ``ch_w``/``ch_b`` hold this rank's column shard: the matmul
+    produces a D/TP activation slice and a tiled all-gather over 'model'
+    reforms full D before the residual add (column-parallel TP, Megatron
+    style, over ICI).
     """
     x = x + emb
     h = _ln(x, p["ln1_scale"], p["ln1_bias"])
@@ -111,7 +139,10 @@ def _block(p: Dict, x: jnp.ndarray, emb: jnp.ndarray, act) -> jnp.ndarray:
     x = x + act(h)
     h = _ln(x, p["ln2_scale"], p["ln2_bias"])
     h = h @ p["ch_w"] + p["ch_b"]
-    x = x + act(h)
+    h = act(h)
+    if tp:
+        h = jax.lax.all_gather(h, MODEL_AXIS, axis=-1, tiled=True)
+    x = x + h
     return x
 
 
@@ -133,7 +164,9 @@ def pipeline_forward(
       x: [B, T, D] activations (post input-projection, pre block_0).
       emb: [B, 1, D] per-clip timestep embedding (added at EVERY block, the
         reference's per-block t-injection, mlp_module.py:83-87).
-      mesh: a Mesh containing a 'stage' axis (and optionally 'data').
+      mesh: a Mesh containing a 'stage' axis (and optionally 'data' and
+        'model' — a 'model' axis >1 enables column-parallel TP of the
+        channel mix inside every stage, composing dp x pp x tp).
       num_microbatches: M; defaults to S. Per-pipeline batch must divide M.
       data_sharded: also shard the batch over the mesh's 'data' axis.
 
@@ -146,6 +179,10 @@ def pipeline_forward(
     M = num_microbatches if num_microbatches is not None else S
     act_fn = get_activation(act)
     dspec = DATA_AXIS if (data_sharded and DATA_AXIS in mesh.shape) else None
+    tp = MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] > 1
+    if tp:
+        D = stacked["ch_w"].shape[-1]
+        assert D % mesh.shape[MODEL_AXIS] == 0, (D, mesh.shape[MODEL_AXIS])
 
     def device_fn(params_local, x_local, emb_local):
         idx = jax.lax.axis_index(STAGE_AXIS)
@@ -157,7 +194,7 @@ def pipeline_forward(
 
         def run_stage(h, e):
             def body(carry, p):
-                return _block(p, carry, e, act_fn), None
+                return _block(p, carry, e, act_fn, tp=tp), None
 
             h, _ = jax.lax.scan(body, h, params_local)
             return h
@@ -198,7 +235,7 @@ def pipeline_forward(
     return shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(pipeline_spec(stacked), P(dspec), P(dspec)),
+        in_specs=(pipeline_spec(stacked, tensor_parallel=tp), P(dspec), P(dspec)),
         out_specs=P(dspec),
         check_vma=False,
     )(stacked, x, emb)

@@ -57,6 +57,18 @@ def test_pipeline_with_data_parallel(backbone):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pipeline_with_tensor_parallel_3axis(backbone):
+    """('data' 2, 'stage' 2, 'model' 2): TP column-shards the channel mix
+    inside each stage; dp x pp x tp composed in one shard_map program."""
+    x, emb, stacked, ref = backbone
+    mesh = create_pipeline_mesh(
+        n_devices=8, pipeline_parallel=2, model_parallel=2
+    )
+    assert dict(mesh.shape) == {"data": 2, "stage": 2, "model": 2}
+    out = pipeline_forward(stacked, x, emb, mesh, num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_pipeline_backward(backbone):
     """Grads through ppermute+scan match the sequential program's grads."""
     x, emb, stacked, ref = backbone
