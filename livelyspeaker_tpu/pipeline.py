@@ -22,7 +22,7 @@ from .models import RAG, make_cfg_denoiser
 from .models.clip_text import CLIPTextEncoder
 from .models.sag import SAG
 
-__all__ = ["RAGSampler", "LivelySpeakerPipeline"]
+__all__ = ["RAGSampler", "LivelySpeakerPipeline", "generate_long_form"]
 
 
 class RAGSampler:
@@ -188,3 +188,80 @@ class LivelySpeakerPipeline:
             skip_timesteps=self.skip_timesteps,
             init_image=sketch,
         )
+
+
+def generate_long_form(
+    sampler: RAGSampler,
+    audio: "np.ndarray",
+    speaker: int,
+    rng: jax.Array,
+    *,
+    guidance: float = 1.5,
+    fps: int = 15,
+    sr: int = 16000,
+    pipeline: Optional[LivelySpeakerPipeline] = None,
+    sentences: Optional[Sequence[str]] = None,
+):
+    """Arbitrary-length audio -> one continuous gesture stream.
+
+    The reference only ever generates dataset windows; continuity between
+    consecutive 34-frame clips comes from its seed-frame mechanism (the
+    denoiser conditions on the first ``n_pre_seq=4`` frames of ``origin_x``,
+    RAG.py:80-96 / models/rag.py:188-200, and the TED pipeline slides windows
+    with exactly that overlap).  This function turns the mechanism into a
+    long-form API: slice the waveform into ``nframes``-frame windows
+    overlapping by ``n_pre_seq``, generate them sequentially, and feed each
+    window's last ``n_pre_seq`` generated frames in as the next window's
+    seed.  Every window reuses ONE compiled executable (fixed [1, ...]
+    shapes); the loop is host-side because the dependency is inherently
+    sequential.
+
+    With ``pipeline`` + ``sentences`` (one per window, cycled if shorter),
+    each window additionally gets a SAG semantic sketch refined by the last
+    ``skip_timesteps`` diffusion steps (the full LivelySpeaker composition).
+
+    Returns ``[njoints, nfeats, total_frames]`` (total = full windows).
+    """
+    import numpy as np
+
+    c = sampler.model.cfg
+    nf, pre = c.nframes, c.n_pre_seq
+    hop = nf - pre
+    total_frames = int(len(audio) * fps / sr)
+    if total_frames < nf:
+        total_frames = nf
+    n_windows = max(1, (total_frames - pre) // hop)
+
+    out = np.zeros((c.njoints, c.nfeats, pre + n_windows * hop), np.float32)
+    seed = np.zeros((1, c.njoints, c.nfeats, nf), np.float32)
+    win_samples = int(round(nf / fps * sr))
+    vid = jnp.asarray([speaker])
+
+    for w in range(n_windows):
+        f0 = w * hop
+        s0 = int(round(f0 / fps * sr))
+        wav = np.zeros((win_samples,), np.float32)
+        chunk = np.asarray(audio[s0 : s0 + win_samples], np.float32)
+        wav[: len(chunk)] = chunk
+        cond = {
+            "audio": jnp.asarray(wav)[None],
+            "vid": vid,
+            "origin_x": jnp.asarray(seed),
+        }
+        rng, sub = jax.random.split(rng)
+        if pipeline is not None and sentences:
+            sent = sentences[w % len(sentences)]
+            clip = pipeline([sent], cond, sub, guidance=guidance)
+        else:
+            clip = sampler(cond, sub, guidance=guidance)
+        clip = np.asarray(clip[0])  # [J, F, nf]
+        if w == 0:
+            out[:, :, :nf] = clip
+        else:
+            # The first `pre` frames re-synthesise the seed; keep the
+            # previously-committed frames and append the new ones.
+            out[:, :, f0 + pre : f0 + nf] = clip[:, :, pre:]
+        # Next window is seeded with this window's tail.
+        seed[:] = 0.0
+        seed[0, :, :, :pre] = clip[:, :, -pre:]
+    return out

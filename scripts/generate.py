@@ -46,6 +46,9 @@ def parse_args():
     g.add_argument("--speaker", type=int, default=0)
     g.add_argument("--out", type=str, default="/tmp/generated_clip")
     g.add_argument("--render", action="store_true", default=True)
+    g.add_argument("--long", action="store_true",
+                   help="long-form: stitch windows over the FULL audio via "
+                        "seed-frame conditioning (pipeline.generate_long_form)")
     return apply_saved_args(p.parse_args(), p)
 
 
@@ -64,13 +67,13 @@ def main():
 
     n_samples = audio_samples_for_frames(args.n_poses)
     if args.audio:
-        wav = np.load(args.audio).astype(np.float32).reshape(-1)
-        wav = make_audio_fixed_length(wav, n_samples)
+        full_wav = np.load(args.audio).astype(np.float32).reshape(-1)
     else:
         print("no --audio given; using noise")
-        wav = (np.random.default_rng(0).normal(size=n_samples) * 0.1).astype(
-            np.float32
-        )
+        full_wav = (
+            np.random.default_rng(0).normal(size=n_samples) * 0.1
+        ).astype(np.float32)
+    wav = make_audio_fixed_length(full_wav, n_samples)
 
     cond = {
         "audio": jnp.asarray(wav)[None],
@@ -114,8 +117,18 @@ def main():
             skip_timesteps=args.skip_steps or 80,
         )
         sentence = PROMPT + '"' + (args.text or "hello world") + '"'
-        sample = pipe([sentence], cond, jax.random.PRNGKey(0),
-                      guidance=args.guidance_param)
+        if args.long:
+            from livelyspeaker_tpu.pipeline import generate_long_form
+
+            long_motion = generate_long_form(
+                pipe.rag_sampler, full_wav, args.speaker,
+                jax.random.PRNGKey(0), guidance=args.guidance_param,
+                pipeline=pipe, sentences=[sentence],
+            )
+            sample = long_motion[None]
+        else:
+            sample = pipe([sentence], cond, jax.random.PRNGKey(0),
+                          guidance=args.guidance_param)
     else:
         sampler = RAGSampler(
             model, params,
@@ -123,15 +136,25 @@ def main():
             timestep_respacing=args.timestep_respacing or "ddim100",
             use_fused=args.fused,
         )
-        sample = sampler(cond, jax.random.PRNGKey(0),
-                         guidance=args.guidance_param)
+        if args.long:
+            from livelyspeaker_tpu.pipeline import generate_long_form
 
-    motion = np.asarray(sample)[0].reshape(-1, cfg.nframes).T  # [T, J*F]
-    np.savez(args.out + ".npz", motion=motion, audio=wav)
+            sample = generate_long_form(
+                sampler, full_wav, args.speaker, jax.random.PRNGKey(0),
+                guidance=args.guidance_param,
+            )[None]
+        else:
+            sample = sampler(cond, jax.random.PRNGKey(0),
+                             guidance=args.guidance_param)
+
+    n_frames_out = np.asarray(sample).shape[-1]
+    motion = np.asarray(sample)[0].reshape(-1, n_frames_out).T  # [T, J*F]
+    out_wav = full_wav if args.long else wav
+    np.savez(args.out + ".npz", motion=motion, audio=out_wav)
     print(f"wrote {args.out}.npz  motion shape {motion.shape}")
     if args.render and cfg.njoints == 9:
         path = render_ted_clip(motion, args.out + ".mp4", title=args.text,
-                               audio=wav)
+                               audio=out_wav)
         print(f"rendered {path}")
 
 
