@@ -26,6 +26,7 @@ from .sampling import (
     q_sample,
     reverse_loop,
     sample_loop,
+    sample_loop_with_dump,
 )
 from .losses import (
     calc_bpd_loop,

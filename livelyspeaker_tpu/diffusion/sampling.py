@@ -42,6 +42,7 @@ __all__ = [
     "condition_score",
     "reverse_loop",
     "sample_loop",
+    "sample_loop_with_dump",
 ]
 
 
@@ -322,7 +323,7 @@ def sample_loop(
     inpainting: Optional[Inpainting] = None,
     cond_fn: Optional[Callable] = None,
     const_noise: bool = False,
-    return_pred_xstart: bool = False,
+    return_trajectory: Optional[str] = None,  # "pred_xstart" | "sample"
     dtype=jnp.float32,
 ):
     """Run the full reverse diffusion as one ``lax.scan``.
@@ -402,11 +403,16 @@ def sample_loop(
                 new_x = _ddpm_update(sched, out, x, t, step_noise)
             else:
                 new_x = _ddim_update(sched, out, x, t, step_noise, eta)
-            y = out["pred_xstart"] if return_pred_xstart else None
+            if return_trajectory == "pred_xstart":
+                y = out["pred_xstart"]  # TED dump semantics (gd.py:666)
+            elif return_trajectory == "sample":
+                y = new_x  # BEAT dump semantics (scripts_beat gd.py:664)
+            else:
+                y = None
             return (new_x, loop_rng), y
 
         (final, _), preds = jax.lax.scan(body, (img, rng), indices)
-        if return_pred_xstart:
+        if return_trajectory:
             return final, preds
         return final
 
@@ -448,7 +454,12 @@ def sample_loop(
             ) * d_tilde
             # last step of the chain lands on the clean sample
             new_x = jnp.where(t[0] > 0, new_x, d)
-            y = d if return_pred_xstart else None
+            if return_trajectory == "pred_xstart":
+                y = d
+            elif return_trajectory == "sample":
+                y = new_x
+            else:
+                y = None
             return (new_x, loop_rng, d, h, n_prev + 1), y
 
         steps = jnp.arange(n_steps, dtype=jnp.int32)
@@ -457,7 +468,7 @@ def sample_loop(
             (img, rng, jnp.zeros_like(img), jnp.float32(1.0), jnp.int32(0)),
             (indices, steps),
         )
-        if return_pred_xstart:
+        if return_trajectory:
             return final, preds
         return final
 
@@ -514,7 +525,12 @@ def sample_loop(
         new_x = mean_pred * nzm + out["pred_xstart"] * (1 - nzm)
 
         new_old = jnp.concatenate([old_eps[1:], eps[None]], axis=0)
-        y = out["pred_xstart"] if return_pred_xstart else None
+        if return_trajectory == "pred_xstart":
+            y = out["pred_xstart"]
+        elif return_trajectory == "sample":
+            y = new_x
+        else:
+            y = None
         return (new_x, loop_rng, new_old, jnp.minimum(n_old + 1, order)), y
 
     hist = max(order - 1, 1)
@@ -523,6 +539,39 @@ def sample_loop(
     (final, _, _, _), preds = jax.lax.scan(
         body, (img, rng, old_eps0, jnp.int32(0)), (indices, steps)
     )
-    if return_pred_xstart:
+    if return_trajectory:
         return final, preds
     return final
+
+
+def sample_loop_with_dump(
+    denoise_fn,
+    sched: DiffusionSchedule,
+    shape,
+    rng: jax.Array,
+    *,
+    dump_steps,
+    dump_field: str = "pred_xstart",
+    **kwargs,
+):
+    """Reference ``dump_steps`` semantics as one XLA program.
+
+    ``p_sample_loop``/``ddim_sample_loop`` optionally collect the sampler
+    state at chosen loop indices — pred_xstart in the TED tree
+    (scripts/diffusion/gaussian_diffusion.py:666), the post-step sample in
+    the BEAT tree (scripts_beat/.../gaussian_diffusion.py:664) — and return
+    the collected list INSTEAD of the final sample (gd.py:668-671).  Here the
+    scan emits the per-step field and a static gather selects the dumped
+    rows; returns ``(final, dumped [len(dump_steps), *shape])`` (the final
+    sample costs nothing to also return).
+    """
+    final, traj = sample_loop(
+        denoise_fn,
+        sched,
+        shape,
+        rng,
+        return_trajectory=dump_field,
+        **kwargs,
+    )
+    idx = jnp.asarray(list(dump_steps), jnp.int32)
+    return final, traj[idx]

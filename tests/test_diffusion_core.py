@@ -146,6 +146,42 @@ def test_sample_loop_converges_with_oracle(method):
     np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-3)
 
 
+@pytest.mark.parametrize("method", ["ddpm", "ddim", "plms", "dpmpp"])
+def test_sample_loop_trajectory_and_dump(method):
+    """Reference dump_steps semantics (gd.py:647-670): collect pred_xstart
+    (TED) or post-step sample (BEAT) at chosen loop indices."""
+    from livelyspeaker_tpu.diffusion import sample_loop_with_dump
+
+    sched = DiffusionSchedule.create(steps=20, schedule="cosine")
+    x_true = jnp.full((1, 2, 3, 4), 0.25)
+    fn = _perfect_denoiser(sched, x_true)
+    final, dumped = sample_loop_with_dump(
+        fn,
+        sched,
+        (3, 2, 3, 4),
+        jax.random.PRNGKey(1),
+        dump_steps=[0, 5, 19],
+        dump_field="pred_xstart",
+        method=method,
+    )
+    assert dumped.shape == (3, 3, 2, 3, 4)
+    # with an oracle denoiser, every dumped pred_xstart is exactly x_true
+    np.testing.assert_allclose(np.asarray(dumped), 0.25, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final), 0.25, atol=1e-3)
+
+    # BEAT semantics: the dumped SAMPLE at the last loop index is the final x
+    final2, dumped2 = sample_loop_with_dump(
+        fn,
+        sched,
+        (3, 2, 3, 4),
+        jax.random.PRNGKey(1),
+        dump_steps=[19],
+        dump_field="sample",
+        method=method,
+    )
+    np.testing.assert_array_equal(np.asarray(dumped2[0]), np.asarray(final2))
+
+
 def test_sample_loop_skip_and_init_image():
     sched = DiffusionSchedule.create(
         steps=1000, schedule="cosine", timestep_respacing="ddim100"
