@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator, Optional, Sequence
 
 import jax
 import numpy as np
@@ -33,6 +33,7 @@ class DataLoader:
         prefetch: int = 2,
         host_id: int = 0,
         num_hosts: int = 1,
+        fields: Optional[Sequence[str]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -43,6 +44,9 @@ class DataLoader:
         self.prefetch = prefetch
         self.host_id = host_id
         self.num_hosts = num_hosts
+        # Restrict assembly to these output fields (training needs 3 of 7;
+        # skipping the rest ~doubles loader throughput on 1-core hosts).
+        self.fields = list(fields) if fields is not None else None
         self._rng = np.random.default_rng(seed)
 
     def _epoch_indices(self) -> np.ndarray:
@@ -66,7 +70,10 @@ class DataLoader:
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            batch = self.dataset.batch(chunk)
+            if self.fields is not None:
+                batch = self.dataset.batch(chunk, fields=self.fields)
+            else:
+                batch = self.dataset.batch(chunk)
             if self.collate is not None:
                 batch = self.collate(batch)
             yield batch

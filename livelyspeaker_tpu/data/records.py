@@ -116,38 +116,80 @@ class ShardedDataset:
         shard = self._shard(si)
         return {f: shard[f][li] for f in self.fields}
 
-    def batch(self, indices: Sequence[int]) -> Dict[str, Any]:
-        """Assemble a batch. Array fields go through the native gather
-        (C++ memcpy loop, data/native.py) per shard; JSON fields stay
-        Python lists."""
-        from .native import gather_rows
-
+    def _grouped(self, indices: Sequence[int]):
         idx = np.asarray(indices, np.int64)
         si = np.searchsorted(self.offsets, idx, side="right") - 1
         local = idx - self.offsets[si]
-        out: Dict[str, Any] = {}
         order = np.argsort(si, kind="stable")
         inv = np.empty_like(order)
         inv[order] = np.arange(len(order))
+        return si, local, order, inv
 
-        for f in self.fields:
+    def _gather_grouped(self, field: str, si, local, order, inv, gather_fn):
+        chunks = []
+        pos = 0
+        while pos < len(order):
+            s = si[order[pos]]
+            end = pos
+            while end < len(order) and si[order[end]] == s:
+                end += 1
+            rows = local[order[pos:end]]
+            chunks.append(gather_fn(self._shard(int(s))[field], rows))
+            pos = end
+        stacked = (
+            np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        )
+        return stacked[inv]
+
+    def gather_field(
+        self,
+        field: str,
+        indices: Sequence[int],
+        *,
+        prefix: Optional[int] = None,
+        transpose_crop: Optional[int] = None,
+    ) -> np.ndarray:
+        """Gather one array field across shards through the C++ path.
+
+        ``prefix`` keeps only the first N entries along each row's leading
+        axis (window/audio crop fused into the memcpy); ``transpose_crop``
+        additionally transposes each cropped [T, C] row to [C, T] — the
+        motion layout the denoiser consumes — in the same pass.
+        """
+        from .native import (
+            gather_rows,
+            gather_rows_prefix,
+            gather_rows_transpose_crop,
+        )
+
+        si, local, order, inv = self._grouped(indices)
+        if transpose_crop is not None:
+            fn = lambda a, r: gather_rows_transpose_crop(
+                a.reshape(a.shape[0], a.shape[1], -1), r, transpose_crop
+            )
+        elif prefix is not None:
+            fn = lambda a, r: gather_rows_prefix(a, r, prefix)
+        else:
+            fn = gather_rows
+        return self._gather_grouped(field, si, local, order, inv, fn)
+
+    def batch(
+        self, indices: Sequence[int], fields: Optional[Sequence[str]] = None
+    ) -> Dict[str, Any]:
+        """Assemble a batch. Array fields go through the native gather
+        (C++ memcpy loop, data/native.py) per shard; JSON fields stay
+        Python lists.  ``fields`` restricts assembly to the listed record
+        fields (the training path only needs 3 of them — see ted.py)."""
+        from .native import gather_rows
+
+        si, local, order, inv = self._grouped(indices)
+        out: Dict[str, Any] = {}
+        for f in self.fields if fields is None else fields:
             if f in self.json_fields:
                 out[f] = [self._shard(int(s))[f][int(l)]
                           for s, l in zip(si, local)]
                 continue
-            chunks = []
-            pos = 0
-            while pos < len(order):
-                s = si[order[pos]]
-                end = pos
-                while end < len(order) and si[order[end]] == s:
-                    end += 1
-                rows = local[order[pos:end]]
-                arr = self._shard(int(s))[f]
-                chunks.append(gather_rows(arr, rows))
-                pos = end
-            stacked = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
-            out[f] = stacked[inv]
+            out[f] = self._gather_grouped(f, si, local, order, inv, gather_rows)
         return out
 
     def iter_shards(self) -> Iterator[Dict[str, Any]]:

@@ -29,6 +29,8 @@ __all__ = [
     "MotionFilter",
     "resample_pose_seq",
     "make_audio_fixed_length",
+    "pcm16_encode",
+    "pcm16_decode",
     "convert_pose_seq_to_dir_vec_np",
     "sample_windows_from_clip",
     "build_ted_records",
@@ -45,6 +47,11 @@ class TedConfig:
     subdivision_stride: int = 10
     fps: int = 15
     sr: int = 16000
+    # "int16" stores PCM16 waveforms in the records: lossless vs the 16-bit
+    # source WAVs, half the bytes through the gather + host->device transfer
+    # (the input-pipeline bottleneck on 1-core hosts); decoded to f32 by the
+    # consumers (WavEncoder casts on DEVICE, eval DSP on host).
+    audio_dtype: str = "float32"
     mean_dir_vec: np.ndarray = field(default_factory=lambda: MEAN_DIR_VEC.copy())
     mean_pose: np.ndarray = field(default_factory=lambda: MEAN_POSE.copy())
 
@@ -69,6 +76,15 @@ def resample_pose_seq(poses: np.ndarray, duration_in_sec: float, fps: int) -> np
     for d in range(flat.shape[1]):
         out[:, d] = np.interp(x_new, x, flat[:, d])
     return out.reshape((len(x_new),) + poses.shape[1:]).astype(poses.dtype)
+
+
+def pcm16_encode(audio: np.ndarray) -> np.ndarray:
+    """float waveform [-1, 1] -> PCM16 (the TED source WAVs' native width)."""
+    return np.clip(np.asarray(audio, np.float64) * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def pcm16_decode(audio: np.ndarray) -> np.ndarray:
+    return np.asarray(audio, np.float32) * np.float32(1.0 / 32767.0)
 
 
 def make_audio_fixed_length(audio: np.ndarray, expected: int) -> np.ndarray:
@@ -260,10 +276,13 @@ def build_ted_records(
             clip["end_time"],
             disable_filtering=disable_filtering,
         ):
+            audio_out = s["audio"]
+            if cfg.audio_dtype == "int16":
+                audio_out = pcm16_encode(audio_out)
             writer.add(
                 vec_seq=s["vec_seq"],
                 pose_seq=s["pose_seq"],
-                audio=s["audio"],
+                audio=audio_out,
                 words=s["words"],
                 vid=s["vid"],
                 start_time=np.float64(s["start_time"]),
@@ -353,10 +372,89 @@ class TedWindowDataset:
             "sentence": PROMPT + '"' + sentence + '"',
         }
 
-    def batch(self, indices: Sequence[int]) -> Dict:
-        rows = [self[int(i)] for i in indices]
+    # record fields each output field needs assembled
+    _RAW_DEPS = {
+        "motion": ("vec_seq",),
+        "vec_seq": ("vec_seq",),
+        "pose_seq": ("pose_seq",),
+        "audio": ("audio",),
+        "vid": ("vid",),
+        "word_ids": ("words", "start_time", "end_time"),
+        "sentence": ("words",),
+    }
+
+    def batch(
+        self, indices: Sequence[int], fields: Optional[Sequence[str]] = None
+    ) -> Dict:
+        """Vectorized batch assembly: one C++ gather per record field, then
+        batched slicing/reshaping — replaces a per-row Python ``self[i]``
+        loop that cost ~3x the whole assembly.  ``fields`` restricts output
+        to what the consumer needs (training: motion/audio/vid — the
+        word/sentence tracks are eval-only, lmdb_data_loader.py:130-198)."""
+        cfg = self.cfg
+        want = list(fields) if fields is not None else list(self._RAW_DEPS)
+        json_needed = sorted(
+            {r for f in want for r in self._RAW_DEPS[f]}
+            & {"vid", "words", "start_time", "end_time"}
+        )
+        raw = self.records.batch(indices, fields=json_needed)
+        n = cfg.n_poses
         out: Dict = {}
-        for k in rows[0]:
-            vals = [r[k] for r in rows]
-            out[k] = vals if isinstance(vals[0], str) else np.stack(vals)
+
+        if "motion" in want:
+            # gather + 42->34 crop + [T,C]->[C,T] transpose in ONE C++ pass
+            m = self.records.gather_field(
+                "vec_seq", indices, transpose_crop=n
+            )  # [B, 27, n]
+            out["motion"] = m.reshape(m.shape[0], 9, 3, n)
+        if "vec_seq" in want:
+            v = self.records.gather_field("vec_seq", indices, prefix=n)
+            out["vec_seq"] = np.asarray(
+                v.reshape(v.shape[0], n, -1), np.float32
+            )
+        if "pose_seq" in want:
+            ps = self.records.gather_field("pose_seq", indices, prefix=n)
+            out["pose_seq"] = np.asarray(
+                ps.reshape(ps.shape[0], n, -1), np.float32
+            )
+        if "audio" in want:
+            stored = self.records._shard(0)["audio"].shape[1]
+            if stored >= cfg.audio_length:
+                out["audio"] = self.records.gather_field(
+                    "audio", indices, prefix=cfg.audio_length
+                )
+            else:
+                a = self.records.gather_field("audio", indices)
+                out["audio"] = np.pad(
+                    a, ((0, 0), (0, cfg.audio_length - stored)),
+                    mode="symmetric",
+                )
+        if "vid" in want:
+            if self.speaker_model:
+                out["vid"] = np.asarray(
+                    [self.speaker_model.get_word_index(v) for v in raw["vid"]],
+                    np.int32,
+                )
+            else:
+                out["vid"] = np.zeros(len(indices), np.int32)
+        if "word_ids" in want or "sentence" in want:
+            n_total = self.records._shard(0)["vec_seq"].shape[1]
+            wi, sents = [], []
+            for k, words in enumerate(raw["words"]):
+                if "sentence" in want:
+                    sents.append(
+                        PROMPT + '"' + " ".join(w[0] for w in words) + '"'
+                    )
+                if "word_ids" in want:
+                    st = float(raw["start_time"][k])
+                    dur = float(raw["end_time"][k]) - st
+                    wi.append(
+                        self._frame_word_indices(
+                            words, st, st + dur * n / n_total
+                        )
+                    )
+            if "word_ids" in want:
+                out["word_ids"] = np.stack(wi)
+            if "sentence" in want:
+                out["sentence"] = sents
         return out

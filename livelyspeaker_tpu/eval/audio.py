@@ -31,6 +31,8 @@ __all__ = [
 
 def stft_mag(y: np.ndarray, n_fft: int = 2048, hop: int = 512) -> np.ndarray:
     """|STFT| with Hann window and centered reflect padding. [F, T]"""
+    if np.issubdtype(np.asarray(y).dtype, np.integer):
+        y = np.asarray(y, np.float32) * np.float32(1.0 / 32767.0)  # PCM16
     y = np.asarray(y, np.float32)
     pad = n_fft // 2
     y = np.pad(y, pad, mode="reflect" if len(y) > pad else "constant")

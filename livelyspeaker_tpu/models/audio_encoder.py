@@ -43,6 +43,10 @@ class WavEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        if jnp.issubdtype(wav.dtype, jnp.integer):
+            # PCM16 records (TedConfig.audio_dtype="int16"): decode on
+            # DEVICE — the host ships half the bytes, the cast is free here.
+            wav = wav.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
         x = wav[..., None]  # [B, L, 1] (NWC)
         x = nn.Conv(32, (15,), strides=(5,), padding=[(1600, 1600)], name="conv0")(x)
         x = _instance_norm(x)

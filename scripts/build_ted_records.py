@@ -84,6 +84,10 @@ def main():
     p.add_argument("--stride", type=int, default=10)
     p.add_argument("--fps", type=int, default=15)
     p.add_argument("--disable_filtering", action="store_true")
+    p.add_argument("--audio_dtype", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="int16 = PCM16 records: lossless vs 16-bit source "
+                        "WAVs, ~2.3x loader throughput (decoded on device)")
     args = p.parse_args()
 
     if bool(args.clips_dir) == bool(args.lmdb_dir):
@@ -94,7 +98,8 @@ def main():
         else clips_from_reference_lmdb(args.lmdb_dir)
     )
     cfg = TedConfig(
-        n_poses=args.n_poses, subdivision_stride=args.stride, fps=args.fps
+        n_poses=args.n_poses, subdivision_stride=args.stride, fps=args.fps,
+        audio_dtype=args.audio_dtype,
     )
     n, vocab = build_ted_records(
         cfg, clips, args.out, disable_filtering=args.disable_filtering

@@ -115,6 +115,59 @@ def test_ted_window_dataset(synthetic_records):
     )
 
 
+def test_ted_vectorized_batch_matches_per_row(synthetic_records):
+    """The C++-gather batch path must produce exactly what per-row
+    __getitem__ assembly does, for every field."""
+    root, n, _ = synthetic_records
+    lang = Vocab("words")
+    ds = TedWindowDataset(root, lang_model=lang)
+    idx = np.asarray([0, n - 1, 3, 1])
+    fast = ds.batch(idx)
+    for k in ("motion", "vec_seq", "pose_seq", "audio", "vid", "word_ids"):
+        slow = np.stack([ds[int(i)][k] for i in idx])
+        np.testing.assert_array_equal(fast[k], slow, err_msg=k)
+    assert fast["sentence"] == [ds[int(i)]["sentence"] for i in idx]
+
+
+def test_ted_batch_field_selection(synthetic_records):
+    root, n, _ = synthetic_records
+    ds = TedWindowDataset(root)
+    b = ds.batch([0, 1], fields=("motion", "audio", "vid"))
+    assert set(b) == {"motion", "audio", "vid"}
+    dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                    fields=("motion", "vid"))
+    first = next(iter(dl))
+    assert set(first) == {"motion", "vid"}
+
+
+def test_pcm16_records_end_to_end(tmp_path):
+    """int16 audio records: lossless-ish round-trip, device-side decode in
+    WavEncoder matches the f32-records features."""
+    import jax
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.data.ted import TedConfig, pcm16_decode
+    from livelyspeaker_tpu.models import WavEncoder
+
+    d32, d16 = str(tmp_path / "f32"), str(tmp_path / "i16")
+    build_synthetic_ted_records(d32, n_clips=2, clip_seconds=8)
+    build_synthetic_ted_records(
+        d16, n_clips=2, clip_seconds=8, cfg=TedConfig(audio_dtype="int16")
+    )
+    a32 = TedWindowDataset(d32).batch([0, 1], fields=("audio",))["audio"]
+    a16 = TedWindowDataset(d16).batch([0, 1], fields=("audio",))["audio"]
+    assert a16.dtype == np.int16 and a32.dtype == np.float32
+    np.testing.assert_allclose(pcm16_decode(a16), a32, atol=1.0 / 32767)
+
+    enc = WavEncoder()
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(a32))["params"]
+    f32 = enc.apply({"params": params}, jnp.asarray(a32))
+    f16 = enc.apply({"params": params}, jnp.asarray(a16))  # int in, casts
+    np.testing.assert_allclose(
+        np.asarray(f16), np.asarray(f32), atol=5e-3
+    )
+
+
 def test_loader_batching(synthetic_records):
     root, n, _ = synthetic_records
     ds = TedWindowDataset(root)
