@@ -274,12 +274,54 @@ class BeatWindowDataset:
             out["sentence"] = str(r["sentence"])
         return out
 
-    def batch(self, indices: Sequence[int]) -> Dict:
-        rows = [self[int(i)] for i in indices]
+    def batch(
+        self, indices: Sequence[int], fields: Optional[Sequence[str]] = None
+    ) -> Dict:
+        """Vectorized batch assembly (one C++ gather per field, motion
+        crop+transpose fused into the memcpy) — same contract as per-row
+        ``__getitem__`` assembly; see the TED twin (ted.py) for rationale.
+        ``fields`` restricts output (training: motion/audio/vid/emo)."""
+        cfg = self.cfg
+        if fields is not None:
+            want = list(fields)
+        else:
+            want = ["motion", "pose", "audio", "vid", "emo", "sem", "word_ids"]
+            if "sentence" in self.records.fields:
+                want.append("sentence")
+        g = self.records.gather_field
         out: Dict = {}
-        for k in rows[0]:
-            vals = [r[k] for r in rows]
-            out[k] = vals if isinstance(vals[0], str) else np.stack(vals)
+        if "motion" in want:
+            m = g("rot6d", indices, transpose_crop=cfg.pose_length)
+            out["motion"] = m.reshape(
+                m.shape[0], cfg.njoints, 6, cfg.pose_length
+            )  # [B, J, 6, T]
+        if "pose" in want:
+            out["pose"] = np.asarray(g("pose", indices), np.float32)
+        if "audio" in want:
+            a = g("audio", indices)
+            out["audio"] = (
+                a if np.issubdtype(a.dtype, np.integer)
+                else np.asarray(a, np.float32)
+            )
+        if "vid" in want:
+            v = np.asarray(g("vid", indices)).reshape(len(indices), -1)[:, 0]
+            out["vid"] = np.asarray(
+                [self.speaker_index.get(int(x), int(x)) for x in v], np.int32
+            )
+        if "emo" in want:
+            e = np.asarray(g("emo", indices)).reshape(len(indices), -1)
+            out["emo"] = np.asarray(e[:, 0], np.int32)
+        if "sem" in want:
+            out["sem"] = np.asarray(g("sem", indices), np.float32)
+        if "word_ids" in want:
+            out["word_ids"] = np.asarray(g("word_ids", indices), np.int32)
+        if "sentence" in want:
+            out["sentence"] = [
+                str(s)
+                for s in self.records.batch(indices, fields=["sentence"])[
+                    "sentence"
+                ]
+            ]
         return out
 
 

@@ -67,11 +67,11 @@ def main():
         shuffle=True,
         seed=args.seed,
         sharding=batch_sharding(mesh),
-        # training consumes 3 of the 7 TED fields; skipping the eval-only
-        # tracks roughly doubles assembly throughput on 1-core hosts
-        fields=("motion", "audio", "vid")
-        if args.dataset != "beat"
-        else None,
+        # training consumes 3-4 of the 7-8 record fields; skipping the
+        # eval-only tracks roughly doubles assembly throughput on 1-core hosts
+        fields=("motion", "audio", "vid", "emo")
+        if args.dataset == "beat"
+        else ("motion", "audio", "vid"),
     )
 
     cfg = RAGConfig(

@@ -116,6 +116,24 @@ def beat_records(tmp_path_factory, request):
     return str(d), n
 
 
+def test_beat_vectorized_batch_matches_per_row(beat_records):
+    """The C++-gather batch path equals per-row __getitem__ assembly."""
+    root, n = beat_records
+    ds = BeatWindowDataset(root)
+    idx = np.asarray([0, n - 1, 1])
+    fast = ds.batch(idx)
+    rows = [ds[int(i)] for i in idx]
+    for k in rows[0]:
+        if k == "sentence":
+            assert fast[k] == [r[k] for r in rows]
+        else:
+            np.testing.assert_array_equal(
+                fast[k], np.stack([r[k] for r in rows]), err_msg=k
+            )
+    lite = ds.batch(idx, fields=("motion", "audio", "vid", "emo"))
+    assert set(lite) == {"motion", "audio", "vid", "emo"}
+
+
 def test_beat_records_and_dataset(beat_records):
     root, n = beat_records
     assert n > 0
