@@ -113,6 +113,12 @@ def main():
                    choices=["ddpm", "ddim", "plms", "dpmpp"])
     p.add_argument("--no_fused", action="store_true")
     p.add_argument("--guidance", type=float, default=1.5)
+    p.add_argument("--sag_path", type=str, default="",
+                   help="SAG checkpoint: enables text-conditioned requests "
+                        "(full LivelySpeaker composition, skip=80)")
+    p.add_argument("--clip_path", type=str, default="")
+    p.add_argument("--bpe_path", type=str, default="")
+    p.add_argument("--skip_steps", type=int, default=80)
     args = p.parse_args()
 
     from livelyspeaker_tpu.models import RAG, RAGConfig
@@ -137,10 +143,55 @@ def main():
     model = RAG(cfg)
     params = load_params_npz(args.model_path)
 
+    composition = None
+    if args.sag_path:
+        # Full LivelySpeaker composition for text-carrying requests:
+        # SAG sketch -> q_sample warm start -> skip-step RAG refinement.
+        from livelyspeaker_tpu.data.clip_tokenizer import (
+            CLIPTokenizer,
+            HashTokenizer,
+        )
+        from livelyspeaker_tpu.models.clip_text import (
+            CLIPTextEncoder,
+            clip_text_params_from_torch,
+        )
+        from livelyspeaker_tpu.models.sag import SAG
+        from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+
+        sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats, latent_dim=512)
+        sag_params = load_params_npz(args.sag_path)
+        clip_model = CLIPTextEncoder()
+        if args.clip_path:
+            import jax
+            import torch
+
+            sd = torch.load(args.clip_path, map_location="cpu",
+                            weights_only=False)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            clip_params = clip_text_params_from_torch(sd)
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            clip_params = clip_model.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32)
+            )["params"]
+        tok = (
+            CLIPTokenizer(args.bpe_path) if args.bpe_path else HashTokenizer()
+        )
+        composition = LivelySpeakerPipeline(
+            model, params, sag, sag_params, clip_model, clip_params, tok,
+            steps=args.steps,
+            timestep_respacing=args.timestep_respacing or "ddim100",
+            skip_timesteps=args.skip_steps,
+        )
+
     batcher = build_rag_server(
         model,
         params,
-        ServeConfig(
+        composition=composition,
+        cfg=ServeConfig(
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
             default_guidance=args.guidance,

@@ -92,6 +92,66 @@ def test_batcher_error_propagates():
         batcher.close()
 
 
+def test_batcher_composition_with_text():
+    """Requests carrying text route through the SAG composition (sketch ->
+    skip-step refinement), mixed with text-less rows in one batch."""
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.data.clip_tokenizer import HashTokenizer
+    from livelyspeaker_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from livelyspeaker_tpu.models.sag import SAG
+    from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+    from livelyspeaker_tpu.serving import GestureBatcher
+
+    cfg = RAGConfig(latent_dim=64, num_layers=2, n_speakers=4)
+    model = RAG(cfg)
+    rng = np.random.default_rng(0)
+    nf = cfg.nframes
+    x = rng.normal(size=(2, cfg.njoints, cfg.nfeats, nf)).astype(np.float32)
+    cond = {
+        "audio": np.zeros((2, audio_samples_for_frames(nf)), np.float32),
+        "vid": np.zeros((2,), np.int64),
+        "origin_x": x,
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        x, rng.integers(0, 50, size=(2,)),
+        {k: np.asarray(v) for k, v in cond.items()},
+    )["params"]
+
+    sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats, latent_dim=32,
+              ff_size=64, num_layers=1, num_heads=2)
+    sag_params = sag.init(jax.random.PRNGKey(2), jnp.asarray(x))["params"]
+    clip_model = CLIPTextEncoder(
+        CLIPTextConfig(width=32, layers=1, heads=2, embed_dim=32)
+    )
+    clip_params = clip_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+    pipe = LivelySpeakerPipeline(
+        model, params, sag, sag_params, clip_model, clip_params,
+        HashTokenizer(), steps=50, timestep_respacing="ddim5",
+        skip_timesteps=2,
+    )
+    serve_cfg = ServeConfig(max_batch=2, max_wait_ms=100.0, steps=50,
+                            timestep_respacing="ddim5", sampler="ddim",
+                            use_fused=False)
+    batcher = GestureBatcher(pipe.rag_sampler, serve_cfg, composition=pipe)
+    try:
+        r_text = batcher.submit(np.zeros(100, np.float32),
+                                text="waves both hands")
+        r_plain = batcher.submit(np.zeros(100, np.float32))
+        a = r_text.wait(timeout=600)
+        b = r_plain.wait(timeout=600)
+        assert a.shape == b.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+    finally:
+        batcher.close()
+
+
 def test_http_server_roundtrip():
     spec = importlib.util.spec_from_file_location(
         "serve_cli", os.path.join(ROOT, "scripts", "serve.py")
