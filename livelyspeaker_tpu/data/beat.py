@@ -325,24 +325,77 @@ class BeatWindowDataset:
         return out
 
 
+# Official BEAT-english split tables (constant data that must match
+# preprocess_1.py:175-238 ``split_rule_english``). Only the val/test lists
+# matter: train is everything not moved out. "0_65_a"/"0_65_b" denote the
+# first/second half of recording 0_65_65, cut at 30 s (300 s for 1_*) by
+# cut_sequence (preprocess_1.py:239-284).
+_BEAT_4H_SPEAKERS = frozenset({1, 2, 3, 4, 6, 7, 8, 9, 11, 21})
+_BEAT_SPLIT_4H = {
+    "val": frozenset(
+        ["0_57_57", "0_58_58", "0_59_59", "0_60_60", "0_61_61", "0_62_62",
+         "0_63_63", "0_64_64", "0_72_72", "0_80_80", "0_86_86", "0_94_94",
+         "0_102_102", "0_110_110", "0_118_118", "1_12_12"]
+    ),
+    "test": frozenset(
+        ["0_1_1", "0_2_2", "0_3_3", "0_4_4", "0_5_5", "0_6_6", "0_7_7",
+         "0_8_8", "0_65_65", "0_73_73", "0_81_81", "0_87_87", "0_95_95",
+         "0_103_103", "0_111_111", "1_1_1"]
+    ),
+}
+_BEAT_SPLIT_1H = {
+    "val": frozenset(
+        ["0_5_5", "0_6_6", "0_7_7", "0_8_8", "0_65_b", "0_73_b", "0_81_b",
+         "0_87_b", "0_95_b", "0_103_b", "0_111_b", "1_1_b"]
+    ),
+    "test": frozenset(
+        ["0_1_1", "0_2_2", "0_3_3", "0_4_4", "0_65_a", "0_73_a", "0_81_a",
+         "0_87_a", "0_95_a", "0_103_a", "0_111_a", "1_1_a"]
+    ),
+}
+
+
 def beat_official_split(name: str, duration_s: float) -> Dict[str, List]:
-    """Official BEAT split rules (preprocess_1.py:239-284): held-out
-    recordings (``0_*`` and ``1_1``) are cut into an (a) head segment for
-    val/test and a (b) tail for train; the cut point is 30 s for ``0_*``
-    files and 300 s for ``1_*`` (cut_sequence :240); everything else goes
-    wholly to train.
+    """Official BEAT split for one recording (preprocess_1.py:175-347).
+
+    ``name`` is the raw recording name ``<speaker>_<alias>_<r0>_<r1>_<r2>``
+    (e.g. ``2_scott_0_9_9``). Whole recordings listed in the speaker group's
+    val/test table go there entirely; recordings with ``_a``/``_b`` halves
+    in the tables (1-hour speakers only) are cut at 30 s (``0_*``) or 300 s
+    (``1_*``): the head goes to test, the tail to val (cut_sequence
+    :239-284 + the move loops :306-346). Everything else stays in train.
 
     Returns {'train': [(t0, t1)...], 'val': [...], 'test': [...]} second
-    ranges for the given recording name.
+    ranges. (Round-2 correction: the earlier implementation approximated
+    this with a prefix rule, which mis-assigned whole held-out recordings
+    like 0_1_1.)
     """
-    base = name.split("/")[-1]
+    base = name.split("/")[-1].split(".")[0]
     parts = base.split("_")
-    is_heldout = parts[0] == "0" or (parts[0] == "1" and parts[1] == "1")
-    if not is_heldout:
-        return {"train": [(0.0, duration_s)], "val": [], "test": []}
-    cut = min(30.0 if parts[0] == "0" else 300.0, duration_s)
-    return {
-        "train": [(cut, duration_s)] if duration_s > cut else [],
-        "val": [(0.0, cut)],
-        "test": [(0.0, cut)],
-    }
+    if len(parts) >= 5 and parts[0].isdigit():
+        speaker = int(parts[0])
+        fid = "_".join(parts[2:5])
+        rec = parts[2:5]
+    else:  # bare file id like "0_65_65"
+        speaker = 0
+        fid = "_".join(parts[:3])
+        rec = parts[:3]
+    rule = (
+        _BEAT_SPLIT_4H if speaker in _BEAT_4H_SPEAKERS else _BEAT_SPLIT_1H
+    )
+    out: Dict[str, List] = {"train": [], "val": [], "test": []}
+    if fid in rule["test"]:
+        out["test"] = [(0.0, duration_s)]
+        return out
+    if fid in rule["val"]:
+        out["val"] = [(0.0, duration_s)]
+        return out
+    head = f"{rec[0]}_{rec[1]}"
+    if f"{head}_a" in rule["test"]:
+        cut = min(30.0 if rec[0] == "0" else 300.0, duration_s)
+        out["test"] = [(0.0, cut)]
+        if duration_s > cut:
+            out["val"] = [(cut, duration_s)]
+        return out
+    out["train"] = [(0.0, duration_s)]
+    return out

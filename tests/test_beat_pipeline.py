@@ -81,15 +81,29 @@ def test_euler_rot6d_roundtrip(rng_np):
 
 
 def test_official_split_rules():
+    """Exact split_rule_english semantics (preprocess_1.py:175-347)."""
+    # 4h speaker: whole recordings route by the table
+    s = beat_official_split("2_scott_0_9_9.bvh", 120.0)
+    assert s["train"] == [(0.0, 120.0)]  # in the 4h train list
     s = beat_official_split("2_scott_0_1_1.bvh", 120.0)
-    assert s["train"] == [(0.0, 120.0)]
-    s = beat_official_split("0_anything.bvh", 120.0)
-    assert s["val"] == [(0.0, 30.0)] and s["train"] == [(30.0, 120.0)]
-    # 1_* files cut at 300 s (cut_sequence, preprocess_1.py:240)
-    s = beat_official_split("1_1_foo.bvh", 400.0)
-    assert s["val"] == [(0.0, 300.0)] and s["train"] == [(300.0, 400.0)]
-    s = beat_official_split("1_1_foo.bvh", 20.0)
-    assert s["val"] == [(0.0, 20.0)] and s["train"] == []
+    assert s["test"] == [(0.0, 120.0)] and not s["train"]  # 4h test list
+    s = beat_official_split("2_scott_0_57_57.bvh", 120.0)
+    assert s["val"] == [(0.0, 120.0)]  # 4h val list
+    s = beat_official_split("2_scott_1_1_1.bvh", 400.0)
+    assert s["test"] == [(0.0, 400.0)]  # 4h: whole 1_1_1 is test
+    # 1h speaker: a/b cut recordings; head->test, tail->val
+    s = beat_official_split("5_stewart_0_65_65.bvh", 120.0)
+    assert s["test"] == [(0.0, 30.0)] and s["val"] == [(30.0, 120.0)]
+    s = beat_official_split("5_stewart_1_1_1.bvh", 400.0)
+    assert s["test"] == [(0.0, 300.0)] and s["val"] == [(300.0, 400.0)]
+    s = beat_official_split("5_stewart_1_1_1.bvh", 200.0)
+    assert s["test"] == [(0.0, 200.0)] and s["val"] == []
+    # whole-file val for 1h speakers
+    s = beat_official_split("5_stewart_0_5_5.bvh", 60.0)
+    assert s["val"] == [(0.0, 60.0)]
+    # anything unlisted stays train
+    s = beat_official_split("5_stewart_0_33_33.bvh", 60.0)
+    assert s["train"] == [(0.0, 60.0)]
 
 
 @pytest.fixture(scope="module")
