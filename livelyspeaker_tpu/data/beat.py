@@ -13,7 +13,7 @@ emitting sharded npy records, and of the online ``CustomDataset``
 from __future__ import annotations
 
 import math
-import os
+
 from dataclasses import dataclass, field
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -60,6 +60,10 @@ class BeatConfig:
     stride: int = 10
     pose_fps: int = 15
     sr: int = 16000
+    # "int16": PCM16 waveforms in the records (lossless vs 16-bit source
+    # WAVs, half the gather/transfer bytes; decoded on device — see
+    # ted.py TedConfig.audio_dtype)
+    audio_dtype: str = "float32"
     pre_frames: int = 4
     speakers: Tuple[int, ...] = (2, 4, 6, 8)
     rotation_order: str = "XYZ"  # BEAT BVH channel order is Xrot Yrot Zrot
@@ -207,10 +211,15 @@ def build_beat_records(
                 euler.reshape(cfg.pose_length, cfg.njoints, 3),
                 cfg.rotation_order,
             ).reshape(cfg.pose_length, cfg.rot6d_dims)
+            audio_out = w["audio"]
+            if cfg.audio_dtype == "int16":
+                from .ted import pcm16_encode
+
+                audio_out = pcm16_encode(audio_out)
             fields = dict(
                 pose=((euler - mean) / std).astype(np.float32),
                 rot6d=rot6d.astype(np.float32),
-                audio=w["audio"],
+                audio=audio_out,
                 vid=np.int32(clip["vid"]),
                 word_ids=w.get("word_ids", np.zeros(cfg.pose_length, np.int32)),
                 emo=w.get("emo", np.zeros(cfg.pose_length, np.int32)),

@@ -95,13 +95,14 @@ def build_synthetic_beat_records(
     n_clips: int = 4,
     clip_seconds: float = 16.0,
     seed: int = 233,
+    cfg=None,
 ):
     """Synthetic BEAT-like clips (smooth euler tracks, audio, per-frame
     emotion/semantic labels) through the real BEAT record pipeline."""
     from .beat import BeatConfig, build_beat_records
 
     rng = np.random.default_rng(seed)
-    cfg = BeatConfig()
+    cfg = cfg or BeatConfig()
     vocab = ("hello", "world", "this", "is", "a", "test", "gesture", "talk")
     clips = []
     for c in range(n_clips):

@@ -21,7 +21,7 @@ preprocess_1.py:239-347, scripts_beat/dataloaders/beat.py:181-328.
 import argparse
 import glob
 import json
-import math
+
 import os
 import sys
 import wave
@@ -225,12 +225,17 @@ def main():
                    default="train")
     p.add_argument("--speakers", type=int, nargs="+", default=[2, 4, 6, 8])
     p.add_argument("--pose_fps", type=int, default=15)
+    p.add_argument("--audio_dtype", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="int16 = PCM16 records (lossless vs source WAVs, "
+                        "~2x loader throughput; decoded on device)")
     p.add_argument("--vocab", type=str, default="",
                    help="existing vocab pkl; built from the TextGrids if "
                         "omitted")
     args = p.parse_args()
 
-    cfg = BeatConfig(pose_fps=args.pose_fps, speakers=tuple(args.speakers))
+    cfg = BeatConfig(pose_fps=args.pose_fps, speakers=tuple(args.speakers),
+                     audio_dtype=args.audio_dtype)
     if args.vocab:
         vocab = Vocab.load(args.vocab)
     else:

@@ -17,7 +17,6 @@ _jax_setup()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from livelyspeaker_tpu.data import DataLoader, TedWindowDataset

@@ -67,7 +67,6 @@ def main():
     assert jax.process_count() == args.num_processes
 
     import jax.numpy as jnp
-    import numpy as np
 
     from livelyspeaker_tpu.data.loader import DataLoader
     from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records

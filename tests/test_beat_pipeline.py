@@ -148,6 +148,23 @@ def test_beat_vectorized_batch_matches_per_row(beat_records):
     assert set(lite) == {"motion", "audio", "vid", "emo"}
 
 
+def test_beat_pcm16_records(tmp_path):
+    """int16-audio BEAT records flow through the batch path unconverted and
+    decode on device in WavEncoder (same contract as the TED twin)."""
+    from livelyspeaker_tpu.data.synthetic import build_synthetic_beat_records
+    from livelyspeaker_tpu.data.ted import pcm16_decode
+
+    d32, d16 = str(tmp_path / "f32"), str(tmp_path / "i16")
+    build_synthetic_beat_records(d32, n_clips=2, clip_seconds=8)
+    build_synthetic_beat_records(
+        d16, n_clips=2, clip_seconds=8, cfg=BeatConfig(audio_dtype="int16")
+    )
+    a32 = BeatWindowDataset(d32).batch([0, 1], fields=("audio",))["audio"]
+    a16 = BeatWindowDataset(d16).batch([0, 1], fields=("audio",))["audio"]
+    assert a16.dtype == np.int16 and a32.dtype == np.float32
+    np.testing.assert_allclose(pcm16_decode(a16), a32, atol=1.0 / 32767)
+
+
 def test_beat_records_and_dataset(beat_records):
     root, n = beat_records
     assert n > 0
