@@ -11,6 +11,10 @@ from .schedule import (
     get_named_beta_schedule,
     space_timesteps,
 )
+from .distill import (
+    distill_targets,
+    make_distill_step,
+)
 from .sampling import (
     Inpainting,
     MeanType,
