@@ -34,7 +34,13 @@ import numpy as np
 from .models import audio_samples_for_frames
 from .pipeline import LivelySpeakerPipeline, RAGSampler
 
-__all__ = ["ServeConfig", "GestureRequest", "GestureBatcher", "build_rag_server"]
+__all__ = [
+    "ServeConfig",
+    "ServerOverloaded",
+    "GestureRequest",
+    "GestureBatcher",
+    "build_rag_server",
+]
 
 
 @dataclass
@@ -47,6 +53,13 @@ class ServeConfig:
     sampler: str = "dpmpp"  # measured: beats ddim100 FGD at 5x fewer passes
     use_fused: bool = True  # Pallas fused backbone on TPU
     seed: int = 0
+    # Backpressure: pending requests beyond this raise ServerOverloaded at
+    # submit time (-> HTTP 503) instead of growing latency unboundedly.
+    max_queue: int = 128
+
+
+class ServerOverloaded(RuntimeError):
+    """Request rejected at admission: the pending queue is full."""
 
 
 @dataclass
@@ -95,11 +108,13 @@ class GestureBatcher:
         c = sampler.model.cfg
         self.n_samples = audio_samples_for_frames(c.nframes)
         self._shape = (c.njoints, c.nfeats, c.nframes)
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=cfg.max_queue)
         self._stop = threading.Event()
         self._key = jax.random.PRNGKey(cfg.seed)
         self._batches_served = 0
         self._requests_served = 0
+        self._rejected = 0
+        self._latencies_ms: List[float] = []  # rolling, last 512
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -116,26 +131,47 @@ class GestureBatcher:
         src = np.asarray(audio, np.float32).reshape(-1)[: self.n_samples]
         a[: src.shape[0]] = src
         req = GestureRequest(audio=a, speaker=speaker, guidance=guidance, text=text)
-        self._q.put(req)
+        req._t_submit = time.monotonic()
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            self._rejected += 1
+            raise ServerOverloaded(
+                f"pending queue full ({self.cfg.max_queue}); retry later"
+            ) from None
         return req
 
     def generate(self, audio: np.ndarray, timeout: float = 300.0, **kw) -> np.ndarray:
         return self.submit(audio, **kw).wait(timeout)
 
     def stats(self) -> Dict[str, float]:
+        lat = sorted(self._latencies_ms)
+        pct = lambda p: (
+            lat[min(int(p * len(lat)), len(lat) - 1)] if lat else 0.0
+        )
         return {
             "batches_served": self._batches_served,
             "requests_served": self._requests_served,
+            "rejected": self._rejected,
+            "pending": self._q.qsize(),
             "mean_batch_occupancy": (
                 self._requests_served / self._batches_served
                 if self._batches_served
                 else 0.0
             ),
+            "latency_ms_p50": round(pct(0.50), 2),
+            "latency_ms_p95": round(pct(0.95), 2),
+            "latency_ms_p99": round(pct(0.99), 2),
         }
 
     def close(self) -> None:
         self._stop.set()
-        self._q.put(_SHUTDOWN)
+        try:
+            # non-blocking: with a full queue (overload shutdown) the worker
+            # exits via the stop flag's 0.1 s poll instead
+            self._q.put_nowait(_SHUTDOWN)
+        except queue.Full:
+            pass
         self._worker.join(timeout=10)
 
     # ------------------------------------------------------------- worker
@@ -202,10 +238,16 @@ class GestureBatcher:
 
         self._batches_served += 1
         self._requests_served += n
+        now = time.monotonic()
         for i, r in enumerate(batch):
             r.result = out_np[i]
             r.batch_size = n
+            t0 = getattr(r, "_t_submit", None)
+            if t0 is not None:
+                self._latencies_ms.append((now - t0) * 1e3)
             r.done.set()
+        if len(self._latencies_ms) > 512:
+            del self._latencies_ms[:-512]
 
 
 def build_rag_server(

@@ -6,11 +6,15 @@ dynamic batcher in ``livelyspeaker_tpu/serving.py`` (fixed-shape batches,
 one compiled executable, per-sample guidance).
 
     POST /v1/generate   {"audio": [f32...] | "audio_b64": base64 f32le,
-                         "speaker": 0, "guidance": 1.5, "text": "..."}
+                         "speaker": 0, "guidance": 1.5, "text": "...",
+                         "long": false}
         -> {"motion": [[...]...], "shape": [J, F, T], "batch_size": n,
             "latency_ms": ...}
+        "long": true stitches the FULL audio into one continuous stream via
+        seed-frame conditioning (generate_long_form) instead of one window.
+        503 + {"error": ...} when the pending queue is full (backpressure).
     GET  /healthz       {"ok": true, "devices": [...]}
-    GET  /stats         batcher occupancy counters
+    GET  /stats         occupancy, pending/rejected, latency p50/p95/p99
 
 Example:
     python scripts/serve.py --model_path ckpts/TED/RAG.npz --port 8000
@@ -35,6 +39,8 @@ _jax_setup()
 
 import jax
 import numpy as np
+
+from livelyspeaker_tpu.serving import ServerOverloaded
 
 
 def make_handler(batcher):
@@ -75,25 +81,47 @@ def make_handler(batcher):
                 else:
                     audio = np.asarray(req.get("audio", []), np.float32)
                 t0 = time.monotonic()
-                r = batcher.submit(
-                    audio,
-                    speaker=int(req.get("speaker", 0)),
-                    guidance=(
-                        float(req["guidance"]) if "guidance" in req else None
-                    ),
-                    text=req.get("text"),
-                )
-                motion = r.wait(timeout=float(req.get("timeout", 300.0)))
+                if req.get("long"):
+                    # Arbitrary-length audio -> one stitched stream; the
+                    # window chain is sequential, so it bypasses the batcher
+                    # (each window still reuses one compiled executable).
+                    import jax
+
+                    from livelyspeaker_tpu.pipeline import generate_long_form
+
+                    motion = generate_long_form(
+                        batcher.sampler,
+                        audio,
+                        int(req.get("speaker", 0)),
+                        jax.random.PRNGKey(int(t0 * 1e3) & 0x7FFFFFFF),
+                        guidance=float(req.get("guidance", 1.5)),
+                    )
+                    batch_size = 1
+                else:
+                    r = batcher.submit(
+                        audio,
+                        speaker=int(req.get("speaker", 0)),
+                        guidance=(
+                            float(req["guidance"])
+                            if "guidance" in req
+                            else None
+                        ),
+                        text=req.get("text"),
+                    )
+                    motion = r.wait(timeout=float(req.get("timeout", 300.0)))
+                    batch_size = r.batch_size
                 resp = {
                     "motion": motion.tolist(),
                     "shape": list(motion.shape),
-                    "batch_size": r.batch_size,
+                    "batch_size": batch_size,
                     "latency_ms": (time.monotonic() - t0) * 1e3,
                 }
                 if req.get("text") and batcher.composition is None:
                     # RAG-only deployment: no SAG/CLIP checkpoints loaded.
                     resp["text_ignored"] = True
                 self._json(200, resp)
+            except ServerOverloaded as e:
+                self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — report to the client
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -107,6 +135,8 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--max_queue", type=int, default=128,
+                   help="pending-request cap; beyond it requests get 503")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--timestep_respacing", type=str, default="ddim20")
     p.add_argument("--sampler", type=str, default="dpmpp",
@@ -194,6 +224,7 @@ def main():
         cfg=ServeConfig(
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
+            max_queue=args.max_queue,
             default_guidance=args.guidance,
             steps=args.steps,
             timestep_respacing=args.timestep_respacing or None,
@@ -201,8 +232,10 @@ def main():
             use_fused=not args.no_fused,
         ),
     )
-    # Warm the executable before accepting traffic (first compile ~20-40 s).
-    batcher.generate(np.zeros(16000, np.float32))
+    # Warm the executable before accepting traffic. First compile of the
+    # sampling scan can take minutes on remote-dispatch hosts; don't let the
+    # default request timeout kill the server during it.
+    batcher.generate(np.zeros(16000, np.float32), timeout=3600.0)
     print(f"warm; serving on http://{args.host}:{args.port}")
 
     srv = ThreadingHTTPServer((args.host, args.port), make_handler(batcher))

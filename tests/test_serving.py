@@ -76,6 +76,40 @@ def test_batcher_audio_pad_and_trim():
         batcher.close()
 
 
+def test_backpressure_rejects_when_queue_full():
+    from livelyspeaker_tpu.serving import ServerOverloaded
+
+    batcher, _ = _tiny_server(max_batch=2)
+    try:
+        batcher.cfg.max_queue = 2
+        # freeze the worker so the queue can't drain
+        batcher._stop.set()
+        batcher._worker.join(timeout=5)
+        import queue as _q
+
+        batcher._q = _q.Queue(maxsize=2)
+        batcher.submit(np.zeros(10, np.float32))
+        batcher.submit(np.zeros(10, np.float32))
+        with pytest.raises(ServerOverloaded):
+            batcher.submit(np.zeros(10, np.float32))
+        assert batcher.stats()["rejected"] == 1
+        assert batcher.stats()["pending"] == 2
+    finally:
+        batcher.close()
+
+
+def test_latency_percentiles_populate():
+    batcher, _ = _tiny_server(max_batch=2)
+    try:
+        for _ in range(3):
+            batcher.generate(np.zeros(10, np.float32), timeout=600)
+        st = batcher.stats()
+        assert st["latency_ms_p50"] > 0
+        assert st["latency_ms_p99"] >= st["latency_ms_p50"]
+    finally:
+        batcher.close()
+
+
 def test_batcher_error_propagates():
     batcher, _ = _tiny_server(max_batch=2)
     try:
