@@ -239,12 +239,23 @@ def main():
     print(f"warm; serving on http://{args.host}:{args.port}")
 
     srv = ThreadingHTTPServer((args.host, args.port), make_handler(batcher))
+
+    # Graceful termination under orchestration (SIGTERM from k8s etc.):
+    # stop accepting, drain in-flight batches, then exit 0.
+    import signal
+    import threading
+
+    def _shutdown(signum, frame):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         batcher.close()
+        print("server stopped; batcher drained")
 
 
 if __name__ == "__main__":
