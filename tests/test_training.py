@@ -219,6 +219,34 @@ def test_trainloop_ema_export_and_quartile_logging(tmp_path, rng_np):
     assert any(k.startswith("loss_q") for k in keys), keys
 
 
+def test_nan_batch_skips_update_and_recovers(rng_np):
+    """Failure-detection path: a poisoned batch must not touch params or
+    optimizer state (trainer.py NaN guard), and the next clean batch must
+    train normally."""
+    state, step, batch = _setup(rng_np)
+    p0 = jax.tree.map(np.asarray, jax.device_get(state.params))
+
+    bad = dict(batch, motion=batch["motion"].at[0, 0, 0, 0].set(np.nan))
+    state, m = step(state, bad, jax.random.PRNGKey(0))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        jax.device_get(state.params),
+        p0,
+    )
+    assert int(state.step) == 1  # step still counts (matches host mirror)
+
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), b),
+        jax.device_get(state.params),
+        p0,
+    )
+    assert any(jax.tree.leaves(changed))
+
+
 def test_resume_is_bit_exact(tmp_path, rng_np):
     """Kill-and-resume must replay the exact uninterrupted trajectory:
     step keys are fold_in(base, global_step) (loop.py), so the RNG stream —
