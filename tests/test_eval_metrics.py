@@ -41,6 +41,16 @@ def test_frechet_shifted_mean(rng_np):
     assert frechet_from_samples(x, y) == pytest.approx(16.0, rel=0.05)
 
 
+def test_frechet_failure_sentinel(rng_np):
+    """Numerical failure (NaN features, degenerate covariance) returns the
+    reference's 1e10 sentinel instead of raising (ted_evaluator.py:69-73)."""
+    from livelyspeaker_tpu.eval.fgd import frechet_from_samples
+
+    a = rng_np.normal(size=(10, 4)).astype(np.float32)
+    assert frechet_from_samples(a, np.full((10, 4), np.nan, np.float32)) == 1e10
+    assert frechet_from_samples(a, a[:1]) == 1e10
+
+
 def test_srgr_perfect_match():
     m = SRGR(threshold=0.3, joints=47)
     x = np.zeros((2, 34, 141))
