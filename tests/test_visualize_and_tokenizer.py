@@ -49,3 +49,34 @@ def test_export_beat_bvh(tmp_path, rng_np):
         b.joint_channels("Spine")[:, :3], euler[:, :3], atol=1e-4
     )
     assert b.fps == pytest.approx(15.0, rel=1e-5)
+
+
+def test_clip_bpe_tokenizer_with_synthetic_merges(tmp_path):
+    """Exercise the full BPE path (merge ranking, byte encoding, sot/eot
+    framing, truncation) with a small synthetic merges file."""
+    from livelyspeaker_tpu.data.clip_tokenizer import CLIPTokenizer
+
+    merges = "\n".join(
+        ["#version: 0.2",
+         "h e", "l l", "he ll", "hell o</w>", "w o", "r l",
+         "wo rl", "worl d</w>"]
+    )
+    p = tmp_path / "mini_bpe.txt"
+    p.write_text(merges + "\n")
+    tok = CLIPTokenizer(str(p))
+
+    ids = tok(["hello world", "HELLO   world!"])
+    assert ids.shape == (2, 77) and ids.dtype == np.int32
+    # sot first, eot present, zero padding after
+    assert ids[0, 0] == tok.sot
+    eot_pos = int(np.where(ids[0] == tok.eot)[0][0])
+    assert (ids[0, eot_pos + 1:] == 0).all()
+    # 'hello' merges all the way to one token; spelled-out chars would be 5
+    hello_ids = tok.encode("hello")
+    assert len(hello_ids) == 1
+    assert tok.decoder[hello_ids[0]] == "hello</w>"
+    # case/whitespace normalisation: both rows share the same leading tokens
+    assert list(ids[0][:3]) == list(ids[1][:3])
+    # truncation: very long input ends with eot at the last slot
+    long_ids = tok(["hello " * 200])
+    assert long_ids[0, -1] == tok.eot
