@@ -158,3 +158,69 @@ def test_step_timer_counters():
     _time.sleep(0.01)
     out = t.tick()
     assert "avg_clips_per_sec" in out and out["avg_clips_per_sec"] > 0
+
+
+def test_melspectrogram_tone_peak():
+    """A pure tone concentrates energy in the mel band containing its
+    frequency (librosa-replacement sanity, eval/audio.py)."""
+    import numpy as np
+
+    from livelyspeaker_tpu.eval.audio import mel_filterbank, melspectrogram
+
+    sr, f0 = 16000, 1000.0
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    m = melspectrogram(tone, sr=sr, n_mels=64)
+    assert m.shape[0] == 64 and m.shape[1] > 0
+    band = int(np.argmax(m.mean(axis=1)))
+    # locate the filterbank's peak response for 1 kHz
+    fb = mel_filterbank(sr, 2048, 64)
+    freqs = np.fft.rfftfreq(2048, 1.0 / sr)
+    expected = int(np.argmax(fb[:, np.argmin(np.abs(freqs - f0))]))
+    assert abs(band - expected) <= 1
+
+
+def test_apply_saved_args_restores_model_groups(tmp_path):
+    """Generate-time args come from the checkpoint's args.json for the
+    dataset/model/diffusion groups, but not for sampling knobs
+    (parser_util.py:7-39 semantics)."""
+    import argparse
+
+    from livelyspeaker_tpu.training.checkpoints import save_args
+    from livelyspeaker_tpu.utils.config import add_all_groups, apply_saved_args
+
+    save_dir = str(tmp_path)
+    save_args(save_dir, {"latent_dim": 128, "layers": 3, "n_poses": 34,
+                         "diffusion_steps": 500, "guidance_param": 9.9})
+    p = argparse.ArgumentParser()
+    add_all_groups(p, training=False)
+    args = p.parse_args(["--model_path", save_dir + "/model.npz",
+                         "--guidance_param", "2.0"])
+    args = apply_saved_args(args, p)
+    assert args.latent_dim == 128 and args.layers == 3
+    assert args.diffusion_steps == 500
+    # sampling group is NOT restored: CLI wins
+    assert args.guidance_param == 2.0
+
+
+def test_tensorboard_platform_writes_events(tmp_path):
+    from livelyspeaker_tpu.training.logging import TensorboardPlatform
+
+    tb = TensorboardPlatform(str(tmp_path))
+    tb.report_scalar("loss", 1.0, iteration=1, group_name="Loss")
+    tb.close()
+    import glob
+
+    assert glob.glob(str(tmp_path / "events.out.tfevents.*"))
+
+
+def test_clearml_platform_needs_optional_dep(tmp_path):
+    import pytest as _pytest
+
+    from livelyspeaker_tpu.training.logging import ClearmlPlatform
+
+    try:
+        import clearml  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            ClearmlPlatform(str(tmp_path))
