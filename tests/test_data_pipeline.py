@@ -192,3 +192,33 @@ def test_loader_multihost_split(synthetic_records):
     assert len(dl0) == len(ds) // 2 // 2
     # disjoint index streams -> different windows
     assert not np.array_equal(a, b)
+
+
+def test_vocab_trim_save_load_and_npz_vectors(tmp_path):
+    """Vocab semantics (reference scripts/model/vocab.py:8-130): default
+    tokens, counting, trim(min_count), pickle round-trip, npz word vectors
+    (the fastText substitute)."""
+    v = Vocab("w")
+    for w in ["apple", "apple", "banana", "cherry", "cherry", "cherry"]:
+        v.index_word(w)
+    assert v.get_word_index("apple") == v.word2index["apple"]
+    assert v.get_word_index("unknown-token") == v.UNK_token
+
+    v.trim(min_count=2)  # drops banana
+    assert v.get_word_index("banana") == v.UNK_token
+    assert v.get_word_index("cherry") != v.UNK_token
+
+    p = str(tmp_path / "vocab.pkl")
+    v.save(p)
+    v2 = Vocab.load(p)
+    assert v2.word2index == v.word2index
+
+    vecs = {w: np.random.default_rng(1).normal(size=8).astype(np.float32)
+            for w in ("apple", "cherry")}
+    npz = str(tmp_path / "vecs.npz")
+    np.savez(npz, **vecs)
+    v2.load_word_vectors_npz(npz, dim=8)
+    assert v2.word_embedding_weights.shape == (v2.n_words, 8)
+    np.testing.assert_array_equal(
+        v2.word_embedding_weights[v2.word2index["apple"]], vecs["apple"]
+    )
