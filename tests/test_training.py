@@ -311,6 +311,60 @@ def test_resume_is_bit_exact(tmp_path, rng_np):
     )
 
 
+def test_resume_restores_sampler_state_and_ema(tmp_path, rng_np):
+    """Resume must round-trip the loss-aware sampler history and EMA params
+    through orbax, not just the model params."""
+    from livelyspeaker_tpu.training.loop import TrainLoop
+
+    cfg = RAGConfig.ted(latent_dim=32, num_layers=1)
+    model = RAG(cfg)
+    batch = {
+        "motion": rng_np.normal(size=(B, 9, 3, 34)).astype(np.float32) * 0.3,
+        "audio": rng_np.normal(
+            size=(B, audio_samples_for_frames(34))
+        ).astype(np.float32),
+        "vid": rng_np.integers(0, 1400, size=(B,)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1),
+         "cond_mask": jax.random.PRNGKey(2)},
+        jnp.asarray(batch["motion"]),
+        jnp.zeros((B,), jnp.int32),
+        {"audio": jnp.asarray(batch["audio"]),
+         "vid": jnp.asarray(batch["vid"]),
+         "origin_x": jnp.asarray(batch["motion"])},
+        train=True,
+    )["params"]
+    sched = DiffusionSchedule.create(steps=20)
+    tc = TrainConfig(lr=1e-3, schedule_sampler="loss-second-moment",
+                     ema_rate=0.99)
+    loop = TrainLoop(
+        model, sched, params, [batch, batch], cfg=tc,
+        save_dir=str(tmp_path / "run"), num_epochs=2, log_interval=1000,
+        save_after_epoch=-1, save_every_epochs=1, seed=3,
+    )
+    st = loop.run_loop()
+    assert st.sampler_state is not None and st.ema_params is not None
+    hist_before = np.asarray(st.sampler_state.history)
+
+    resumed = TrainLoop(
+        model, sched, params, [batch, batch], cfg=tc,
+        save_dir=str(tmp_path / "run"), num_epochs=1, log_interval=1000,
+        save_after_epoch=999, save_every_epochs=1, seed=3, resume=True,
+    )
+    assert resumed.start_step == 4
+    np.testing.assert_array_equal(
+        np.asarray(resumed.state.sampler_state.history), hist_before
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        resumed.state.ema_params,
+        st.ema_params,
+    )
+
+
 def test_params_npz_roundtrip(tmp_path, rng_np):
     params = {
         "a": {"kernel": rng_np.normal(size=(3, 4)).astype(np.float32)},
