@@ -81,3 +81,47 @@ def test_long_form_seed_frames_condition_next_window():
     a = np.asarray(sampler(cond_seeded, k, guidance=1.0))
     b = np.asarray(sampler(cond_zero, k, guidance=1.0))
     assert not np.allclose(a, b)
+
+
+def test_long_form_with_composition_pipeline():
+    """Long-form with a SAG composition: each window gets a text-conditioned
+    sketch, refined by the last skip_timesteps, stitched via seed frames."""
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.data.clip_tokenizer import HashTokenizer
+    from livelyspeaker_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from livelyspeaker_tpu.models.sag import SAG
+    from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+
+    sampler, cfg = _tiny_sampler()
+    sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats, latent_dim=32,
+              ff_size=64, num_layers=1, num_heads=2)
+    x0 = jnp.zeros((1, cfg.njoints, cfg.nfeats, cfg.nframes))
+    sag_params = sag.init(jax.random.PRNGKey(2), x0)["params"]
+    clip_model = CLIPTextEncoder(
+        CLIPTextConfig(width=32, layers=1, heads=2, embed_dim=32)
+    )
+    clip_params = clip_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+    pipe = LivelySpeakerPipeline(
+        sampler.model, sampler.params, sag, sag_params, clip_model,
+        clip_params, HashTokenizer(), steps=20,
+        timestep_respacing="ddim4", skip_timesteps=2,
+    )
+    audio = np.random.default_rng(3).normal(size=int(80 / 15 * 16000)).astype(
+        np.float32
+    )
+    out = generate_long_form(
+        pipe.rag_sampler, audio, speaker=0, rng=jax.random.PRNGKey(1),
+        pipeline=pipe, sentences=["waves a hand", "points left"],
+    )
+    hop = cfg.nframes - cfg.n_pre_seq
+    n_windows = (int(len(audio) * 15 / 16000) - cfg.n_pre_seq) // hop
+    assert out.shape == (
+        cfg.njoints, cfg.nfeats, cfg.n_pre_seq + n_windows * hop
+    )
+    assert np.isfinite(out).all()
