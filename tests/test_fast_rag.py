@@ -92,3 +92,44 @@ def test_fused_cfg_denoiser_matches_flax_cfg(rng_np):
     with pltpu.force_tpu_interpret_mode():
         out = fast_den(x, t, jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+def test_guidance_sweep_reuses_one_executable():
+    """The eval guidance sweep (test_RAG_ted.py:183-193) must not recompile:
+    guidance is a traced argument, so one jitted sampler serves all scales."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.models import (
+        RAG,
+        RAGConfig,
+        audio_samples_for_frames,
+    )
+    from livelyspeaker_tpu.pipeline import RAGSampler
+
+    cfg = RAGConfig(latent_dim=32, num_layers=1, n_speakers=4)
+    model = RAG(cfg)
+    rng = np.random.default_rng(0)
+    nf = cfg.nframes
+    cond = {
+        "audio": jnp.asarray(
+            rng.normal(size=(2, audio_samples_for_frames(nf))).astype(
+                np.float32
+            )
+        ),
+        "vid": jnp.zeros((2,), jnp.int32),
+        "origin_x": jnp.zeros((2, cfg.njoints, cfg.nfeats, nf)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        cond["origin_x"], jnp.zeros((2,), jnp.int32), cond,
+    )["params"]
+    sampler = RAGSampler(model, params, steps=20,
+                         timestep_respacing="ddim4", method="ddim")
+    outs = [
+        np.asarray(sampler(cond, jax.random.PRNGKey(1), guidance=g))
+        for g in (1.0, 1.5, 2.0)
+    ]
+    assert len(sampler._jitted) == 1  # one executable for the whole sweep
+    assert not np.allclose(outs[0], outs[2])  # scale actually traced in
