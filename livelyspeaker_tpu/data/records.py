@@ -139,6 +139,10 @@ class ShardedDataset:
         stacked = (
             np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
         )
+        if len(chunks) == 1:
+            # single-shard batch (the common case): order == identity, so
+            # the un-permute would be a full extra copy of the batch — skip
+            return stacked
         return stacked[inv]
 
     def gather_field(
