@@ -22,7 +22,8 @@ from .models import RAG, make_cfg_denoiser
 from .models.clip_text import CLIPTextEncoder
 from .models.sag import SAG
 
-__all__ = ["RAGSampler", "LivelySpeakerPipeline", "generate_long_form"]
+__all__ = ["RAGSampler", "LivelySpeakerPipeline", "generate_long_form",
+           "generate_long_form_stream"]
 
 
 class RAGSampler:
@@ -221,6 +222,38 @@ def generate_long_form(
     ``skip_timesteps`` diffusion steps (the full LivelySpeaker composition).
 
     Returns ``[njoints, nfeats, total_frames]`` (total = full windows).
+    For incremental consumption (streaming serving), use
+    :func:`generate_long_form_stream`, which this wraps.
+    """
+    import numpy as np
+
+    chunks = list(
+        generate_long_form_stream(
+            sampler, audio, speaker, rng, guidance=guidance, fps=fps, sr=sr,
+            pipeline=pipeline, sentences=sentences,
+        )
+    )
+    return np.concatenate([c for _, c in chunks], axis=-1)
+
+
+def generate_long_form_stream(
+    sampler: RAGSampler,
+    audio: "np.ndarray",
+    speaker: int,
+    rng: jax.Array,
+    *,
+    guidance: float = 1.5,
+    fps: int = 15,
+    sr: int = 16000,
+    pipeline: Optional[LivelySpeakerPipeline] = None,
+    sentences: Optional[Sequence[str]] = None,
+):
+    """Generator form of :func:`generate_long_form`: yields
+    ``(window_index, new_frames [J, F, K])`` as each window completes —
+    K = nframes for window 0, nframes - n_pre_seq after. Concatenating every
+    chunk on the frame axis reproduces ``generate_long_form`` exactly
+    (same key schedule). This is what lets serving stream a long request's
+    motion incrementally instead of waiting for the whole chain.
     """
     import numpy as np
 
@@ -232,7 +265,6 @@ def generate_long_form(
         total_frames = nf
     n_windows = max(1, (total_frames - pre) // hop)
 
-    out = np.zeros((c.njoints, c.nfeats, pre + n_windows * hop), np.float32)
     seed = np.zeros((1, c.njoints, c.nfeats, nf), np.float32)
     win_samples = int(round(nf / fps * sr))
     vid = jnp.asarray([speaker])
@@ -255,13 +287,8 @@ def generate_long_form(
         else:
             clip = sampler(cond, sub, guidance=guidance)
         clip = np.asarray(clip[0])  # [J, F, nf]
-        if w == 0:
-            out[:, :, :nf] = clip
-        else:
-            # The first `pre` frames re-synthesise the seed; keep the
-            # previously-committed frames and append the new ones.
-            out[:, :, f0 + pre : f0 + nf] = clip[:, :, pre:]
-        # Next window is seeded with this window's tail.
+        # The first `pre` frames of windows > 0 re-synthesise the seed and
+        # are dropped; the caller keeps the previously-committed frames.
+        yield w, (clip if w == 0 else clip[:, :, pre:])
         seed[:] = 0.0
         seed[0, :, :, :pre] = clip[:, :, -pre:]
-    return out

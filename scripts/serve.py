@@ -11,7 +11,9 @@ one compiled executable, per-sample guidance).
         -> {"motion": [[...]...], "shape": [J, F, T], "batch_size": n,
             "latency_ms": ...}
         "long": true stitches the FULL audio into one continuous stream via
-        seed-frame conditioning (generate_long_form) instead of one window.
+        seed-frame conditioning (generate_long_form) instead of one window;
+        add "stream": true for chunked NDJSON (one line per window, so the
+        client animates while later windows still sample).
         503 + {"error": ...} when the pending queue is full (backpressure).
     GET  /healthz       {"ok": true, "devices": [...]}
     GET  /stats         occupancy, pending/rejected, latency p50/p95/p99
@@ -45,6 +47,8 @@ from livelyspeaker_tpu.serving import ServerOverloaded
 
 def make_handler(batcher):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked streaming
+
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -81,6 +85,44 @@ def make_handler(batcher):
                 else:
                     audio = np.asarray(req.get("audio", []), np.float32)
                 t0 = time.monotonic()
+                if req.get("long") and req.get("stream"):
+                    # Chunked streaming: one JSON line per completed window
+                    # ({"window": i, "motion": [...], "frames": K}), so the
+                    # client can animate while later windows still sample.
+                    import jax
+
+                    from livelyspeaker_tpu.pipeline import (
+                        generate_long_form_stream,
+                    )
+
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "application/x-ndjson"
+                    )
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def write_chunk(obj):
+                        data = (json.dumps(obj) + "\n").encode()
+                        self.wfile.write(
+                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                        )
+                        self.wfile.flush()
+
+                    for w, chunk in generate_long_form_stream(
+                        batcher.sampler,
+                        audio,
+                        int(req.get("speaker", 0)),
+                        jax.random.PRNGKey(int(t0 * 1e3) & 0x7FFFFFFF),
+                        guidance=float(req.get("guidance", 1.5)),
+                    ):
+                        write_chunk({
+                            "window": w,
+                            "frames": int(chunk.shape[-1]),
+                            "motion": chunk.tolist(),
+                        })
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
                 if req.get("long"):
                     # Arbitrary-length audio -> one stitched stream; the
                     # window chain is sequential, so it bypasses the batcher

@@ -125,3 +125,30 @@ def test_long_form_with_composition_pipeline():
         cfg.njoints, cfg.nfeats, cfg.n_pre_seq + n_windows * hop
     )
     assert np.isfinite(out).all()
+
+
+def test_stream_chunks_concatenate_to_batch_result():
+    """The streaming generator must reproduce generate_long_form exactly
+    (same key schedule), chunk by chunk."""
+    from livelyspeaker_tpu.pipeline import generate_long_form_stream
+
+    sampler, cfg = _tiny_sampler()
+    audio = np.random.default_rng(5).normal(size=int(100 / 15 * 16000)).astype(
+        np.float32
+    )
+    whole = generate_long_form(
+        sampler, audio, speaker=1, rng=jax.random.PRNGKey(4), guidance=1.0
+    )
+    chunks = list(
+        generate_long_form_stream(
+            sampler, audio, speaker=1, rng=jax.random.PRNGKey(4), guidance=1.0
+        )
+    )
+    assert [w for w, _ in chunks] == list(range(len(chunks)))
+    assert chunks[0][1].shape[-1] == cfg.nframes
+    assert all(
+        c.shape[-1] == cfg.nframes - cfg.n_pre_seq for _, c in chunks[1:]
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([c for _, c in chunks], axis=-1), whole
+    )

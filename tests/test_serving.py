@@ -227,3 +227,43 @@ def test_http_server_roundtrip():
     finally:
         srv.shutdown()
         batcher.close()
+
+
+def test_http_streaming_long_request():
+    """'long' + 'stream' responds with chunked NDJSON, one line per window."""
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli2", os.path.join(ROOT, "scripts", "serve.py")
+    )
+    serve_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_cli)
+
+    batcher, cfg = _tiny_server(max_batch=2, max_wait_ms=5.0)
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), serve_cli.make_handler(batcher))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        audio = [0.01] * int(80 / 15 * 16000)  # ~80 frames -> 3 windows
+        body = json.dumps(
+            {"audio": audio, "speaker": 1, "long": True, "stream": True}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+        assert [l["window"] for l in lines] == list(range(len(lines)))
+        assert lines[0]["frames"] == cfg.nframes
+        hop = cfg.nframes - cfg.n_pre_seq
+        assert all(l["frames"] == hop for l in lines[1:])
+        total = sum(l["frames"] for l in lines)
+        assert total == cfg.nframes + (len(lines) - 1) * hop
+        m0 = np.asarray(lines[0]["motion"])
+        assert m0.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
+        assert np.isfinite(m0).all()
+    finally:
+        srv.shutdown()
+        batcher.close()
