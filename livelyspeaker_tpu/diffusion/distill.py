@@ -17,7 +17,7 @@ Pure functions + a jitted train step, mirroring trainer.py's structure.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
 _jax_setup()
 
 import jax
-import numpy as np
 import optax
 
 
