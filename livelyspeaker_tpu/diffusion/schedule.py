@@ -162,9 +162,16 @@ class DiffusionSchedule:
         acp_next = np.append(acp[1:], 0.0)
 
         posterior_variance = betas * (1.0 - acp_prev) / (1.0 - acp)
-        posterior_log_variance_clipped = np.log(
-            np.append(posterior_variance[1], posterior_variance[1:])
-        )
+        # t=0's posterior variance is 0; clip with the t=1 value like the
+        # reference (gaussian_diffusion.py:185). A length-1 (fully respaced)
+        # chain has no t=1 — fall back to a tiny floor instead of crashing
+        # (the reference IndexErrors on this degenerate but legal spec).
+        if n > 1:
+            posterior_log_variance_clipped = np.log(
+                np.append(posterior_variance[1], posterior_variance[1:])
+            )
+        else:
+            posterior_log_variance_clipped = np.log(np.array([1e-20]))
 
         as_dev = lambda a: jnp.asarray(a, dtype=dtype)
         return cls(

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the math substrate: rotation
+round-trips, schedule invariants, respacing, PCM16 codec."""
+
+import numpy as np
+import jax.numpy as jnp
+from hypothesis import given, settings, strategies as st
+
+from livelyspeaker_tpu.data.ted import pcm16_decode, pcm16_encode
+from livelyspeaker_tpu.diffusion import (
+    DiffusionSchedule,
+    space_timesteps,
+)
+from livelyspeaker_tpu.ops.rotation import (
+    matrix_to_quaternion,
+    matrix_to_rotation_6d,
+    quaternion_to_matrix,
+    rotation_6d_to_matrix,
+)
+
+COMMON = dict(max_examples=25, deadline=None)
+
+
+def _random_rotations(seed: int, n: int = 8) -> np.ndarray:
+    """Uniform-ish random rotation matrices via QR of gaussians."""
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, 3, 3))
+    q, r = np.linalg.qr(a)
+    d = np.sign(np.diagonal(r, axis1=-2, axis2=-1))
+    q = q * d[:, None, :]
+    det = np.linalg.det(q)
+    q[det < 0, :, 0] *= -1  # force det=+1
+    return q.astype(np.float32)
+
+
+@settings(**COMMON)
+@given(st.integers(0, 10_000))
+def test_rot6d_matrix_fixpoint(seed):
+    """matrix -> rot6d -> matrix is the identity on SO(3)."""
+    m = _random_rotations(seed)
+    r6 = matrix_to_rotation_6d(jnp.asarray(m))
+    back = np.asarray(rotation_6d_to_matrix(r6))
+    np.testing.assert_allclose(back, m, atol=1e-5)
+
+
+@settings(**COMMON)
+@given(st.integers(0, 10_000))
+def test_quaternion_matrix_fixpoint(seed):
+    """matrix -> quaternion -> matrix is the identity (quaternion sign is a
+    gauge freedom, the matrix round-trip is not)."""
+    m = _random_rotations(seed)
+    q = matrix_to_quaternion(jnp.asarray(m))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q), axis=-1), 1.0, atol=1e-5
+    )
+    back = np.asarray(quaternion_to_matrix(q))
+    np.testing.assert_allclose(back, m, atol=1e-5)
+
+
+@settings(**COMMON)
+@given(
+    st.integers(8, 512),
+    st.sampled_from(["linear", "cosine"]),
+)
+def test_schedule_invariants(steps, schedule):
+    if schedule == "linear" and steps < 20:
+        # guided-diffusion's linear schedule scales beta_end by 1000/steps
+        # (gaussian_diffusion.py:26-40): below 20 steps beta_end > 1 and the
+        # reference silently produces NaNs; we assert instead. Out of domain.
+        return
+    s = DiffusionSchedule.create(steps=steps, schedule=schedule)
+    acp = np.asarray(s.alphas_cumprod)
+    assert (np.diff(acp) < 0).all()  # strictly decreasing
+    assert acp[0] < 1.0 and acp[-1] > 0.0
+    assert (np.asarray(s.posterior_variance) >= 0).all()
+    assert (np.asarray(s.betas) > 0).all() and (np.asarray(s.betas) < 1).all()
+
+
+@settings(**COMMON)
+@given(st.integers(10, 1000), st.integers(1, 10))
+def test_respacing_properties(steps, divisor):
+    n = max(steps // divisor, 1)
+    t = sorted(space_timesteps(steps, [n]))
+    assert len(t) == n
+    assert t[0] >= 0 and t[-1] < steps
+    assert len(set(t)) == n  # unique
+    s = DiffusionSchedule.create(
+        steps=steps, schedule="cosine", timestep_respacing=str(n)
+    )
+    tm = np.asarray(s.timestep_map)
+    assert (np.diff(tm) > 0).all()  # strictly increasing original timesteps
+    assert s.num_timesteps == n
+
+
+@settings(**COMMON)
+@given(
+    st.lists(
+        st.floats(-2.0, 2.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_pcm16_roundtrip_error_bound(xs):
+    x = np.asarray(xs, np.float32)
+    back = pcm16_decode(pcm16_encode(x))
+    np.testing.assert_allclose(
+        back, np.clip(x, -32768 / 32767, 1.0), atol=1.001 / 32767
+    )
