@@ -105,3 +105,59 @@ def test_pcm16_roundtrip_error_bound(xs):
     np.testing.assert_allclose(
         back, np.clip(x, -32768 / 32767, 1.0), atol=1.001 / 32767
     )
+
+
+@settings(**COMMON)
+@given(st.integers(0, 10_000))
+def test_fk_dir_vec_roundtrip_property(seed):
+    """pose -> dir-vec -> pose -> dir-vec is a fixpoint for any unit dirs
+    (ops/skeleton FK, data_utils.py:77-120 semantics)."""
+    from livelyspeaker_tpu.ops.skeleton import (
+        convert_dir_vec_to_pose,
+        convert_pose_seq_to_dir_vec,
+    )
+
+    rng = np.random.default_rng(seed)
+    dv = rng.normal(size=(3, 9, 3)).astype(np.float32)
+    dv /= np.maximum(np.linalg.norm(dv, axis=-1, keepdims=True), 1e-9)
+    pose = np.asarray(convert_dir_vec_to_pose(jnp.asarray(dv)))
+    dv2 = np.asarray(convert_pose_seq_to_dir_vec(jnp.asarray(pose)))
+    np.testing.assert_allclose(dv2, dv, atol=1e-5)
+
+
+@settings(**COMMON)
+@given(st.integers(0, 10_000), st.floats(0.01, 1.0))
+def test_huber_matches_closed_form(seed, beta):
+    """huber == mean(where(|d|<beta, d^2/(2 beta), |d| - beta/2)) exactly
+    (scaled smooth-L1, gaussian_diffusion.py:21-24)."""
+    from livelyspeaker_tpu.diffusion import huber
+
+    rng = np.random.default_rng(seed)
+    pred = rng.normal(size=64).astype(np.float32) * 3
+    tgt = rng.normal(size=64).astype(np.float32) * 3
+    h = float(huber(jnp.asarray(pred), jnp.asarray(tgt), beta=beta))
+    d = np.abs(pred - tgt)
+    expected = np.where(d < beta, d * d / (2 * beta), d - beta / 2).mean()
+    np.testing.assert_allclose(h, expected, rtol=1e-5)
+
+
+@settings(**COMMON)
+@given(st.integers(0, 10_000))
+def test_q_sample_closed_form_identity(seed):
+    """q_sample == sqrt(acp_t) x0 + sqrt(1-acp_t) noise exactly, per t."""
+    import jax
+
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule, q_sample
+
+    sched = DiffusionSchedule.create(steps=50, schedule="cosine")
+    rng = np.random.default_rng(seed)
+    t_val = int(rng.integers(0, 50))
+    x0 = jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32))
+    t = jnp.full((16,), t_val, jnp.int32)
+    noise = jax.random.normal(jax.random.PRNGKey(seed), x0.shape)
+    xt = np.asarray(q_sample(sched, x0, t, noise))
+    acp = float(np.asarray(sched.alphas_cumprod)[t_val])
+    expected = np.sqrt(acp) * np.asarray(x0) + np.sqrt(1 - acp) * np.asarray(
+        noise
+    )
+    np.testing.assert_allclose(xt, expected, atol=1e-5)
