@@ -270,10 +270,15 @@ class BeatWindowDataset:
             .astype(np.float32)
         )  # [J, 6, T] (train_loop BEAT :120-123 layout)
         vid_raw = int(r["vid"])
+        audio = np.asarray(r["audio"])
+        if np.issubdtype(audio.dtype, np.integer):  # PCM16-stored records
+            from .ted import pcm16_decode
+
+            audio = pcm16_decode(audio)
         out = {
             "motion": motion,
             "pose": np.asarray(r["pose"], np.float32),
-            "audio": np.asarray(r["audio"], np.float32),
+            "audio": audio.astype(np.float32),
             "vid": np.int32(self.speaker_index.get(vid_raw, vid_raw)),
             "emo": np.int32(np.asarray(r["emo"]).flat[0]),  # RAG.py beat :125
             "sem": np.asarray(r["sem"], np.float32),

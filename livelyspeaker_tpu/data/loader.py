@@ -47,13 +47,22 @@ class DataLoader:
         # Restrict assembly to these output fields (training needs 3 of 7;
         # skipping the rest ~doubles loader throughput on 1-core hosts).
         self.fields = list(fields) if fields is not None else None
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        # Shuffle order is a pure function of (seed, epoch) so a resumed
+        # run can fast-forward to the exact batch stream of an
+        # uninterrupted one (TrainLoop.set_epoch); without set_epoch the
+        # counter self-increments per epoch, preserving distinct shuffles.
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(idx)
+            np.random.default_rng([self._seed, self.epoch]).shuffle(idx)
+        self.epoch += 1
         # Per-host shard of the global index stream (multi-host DP).
         idx = idx[self.host_id :: self.num_hosts]
         return idx

@@ -32,6 +32,7 @@ class ShardWriter:
         self._buf: Dict[str, List[Any]] = {}
         self._json_fields: set = set()
         self._shards: List[Dict[str, Any]] = []
+        self._field_shapes: Dict[str, List[int]] = {}
         os.makedirs(root, exist_ok=True)
 
     def add(self, **fields) -> None:
@@ -55,7 +56,15 @@ class ShardWriter:
                 with open(os.path.join(d, f"{k}.json"), "w") as f:
                     json.dump(vals, f)
             else:
-                np.save(os.path.join(d, f"{k}.npy"), np.stack(vals))
+                arr = np.stack(vals)
+                shape = list(arr.shape[1:])
+                prev = self._field_shapes.setdefault(k, shape)
+                if prev != shape:  # readers rely on one row shape per field
+                    raise ValueError(
+                        f"field {k!r}: shard {idx} row shape {shape} != "
+                        f"earlier shards' {prev}"
+                    )
+                np.save(os.path.join(d, f"{k}.npy"), arr)
         self._shards.append({"name": f"shard_{idx:05d}", "count": count})
         self._buf = {}
 
@@ -64,6 +73,7 @@ class ShardWriter:
         meta = {
             "shards": self._shards,
             "json_fields": sorted(self._json_fields),
+            "field_shapes": self._field_shapes,
         }
         if extra_meta:
             meta.update(extra_meta)
@@ -94,6 +104,15 @@ class ShardedDataset:
 
     def __len__(self) -> int:
         return int(self.offsets[-1])
+
+    def row_shape(self, field: str) -> tuple:
+        """Per-row shape of an array field, from meta.json (writer-verified
+        homogeneous across shards); falls back to the first shard's npy
+        header for records written before field_shapes existed."""
+        shapes = self.meta.get("field_shapes") or {}
+        if field in shapes:
+            return tuple(shapes[field])
+        return tuple(self._shard(0)[field].shape[1:])
 
     def _shard(self, si: int) -> Dict[str, Any]:
         name = self.shard_names[si]

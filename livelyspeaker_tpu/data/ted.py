@@ -78,13 +78,21 @@ def resample_pose_seq(poses: np.ndarray, duration_in_sec: float, fps: int) -> np
     return out.reshape((len(x_new),) + poses.shape[1:]).astype(poses.dtype)
 
 
+# One scale everywhere (encode, decode, WavEncoder, stft_mag): the WAV
+# loaders produce int16/32768 floats, so rounding at *32768 makes the
+# stored-record round trip bit-lossless vs the 16-bit source.
+PCM16_SCALE = 32768.0
+
+
 def pcm16_encode(audio: np.ndarray) -> np.ndarray:
     """float waveform [-1, 1] -> PCM16 (the TED source WAVs' native width)."""
-    return np.clip(np.asarray(audio, np.float64) * 32767.0, -32768, 32767).astype(np.int16)
+    return np.clip(
+        np.round(np.asarray(audio, np.float64) * PCM16_SCALE), -32768, 32767
+    ).astype(np.int16)
 
 
 def pcm16_decode(audio: np.ndarray) -> np.ndarray:
-    return np.asarray(audio, np.float32) * np.float32(1.0 / 32767.0)
+    return np.asarray(audio, np.float32) * np.float32(1.0 / PCM16_SCALE)
 
 
 def make_audio_fixed_length(audio: np.ndarray, expected: int) -> np.ndarray:
@@ -350,7 +358,10 @@ class TedWindowDataset:
         n_total = len(np.asarray(r["vec_seq"]))
         duration = float(r["end_time"]) - float(r["start_time"])
         sample_end_time = float(r["start_time"]) + duration * cfg.n_poses / n_total
-        audio = make_audio_fixed_length(np.asarray(r["audio"]), cfg.audio_length)
+        audio = np.asarray(r["audio"])
+        if np.issubdtype(audio.dtype, np.integer):  # PCM16-stored records
+            audio = pcm16_decode(audio)
+        audio = make_audio_fixed_length(audio, cfg.audio_length)
         words = r["words"]
         sentence = " ".join(w[0] for w in words)
         vid_idx = (
@@ -418,7 +429,7 @@ class TedWindowDataset:
                 ps.reshape(ps.shape[0], n, -1), np.float32
             )
         if "audio" in want:
-            stored = self.records._shard(0)["audio"].shape[1]
+            stored = self.records.row_shape("audio")[0]
             if stored >= cfg.audio_length:
                 out["audio"] = self.records.gather_field(
                     "audio", indices, prefix=cfg.audio_length
@@ -438,7 +449,7 @@ class TedWindowDataset:
             else:
                 out["vid"] = np.zeros(len(indices), np.int32)
         if "word_ids" in want or "sentence" in want:
-            n_total = self.records._shard(0)["vec_seq"].shape[1]
+            n_total = self.records.row_shape("vec_seq")[0]
             wi, sents = [], []
             for k, words in enumerate(raw["words"]):
                 if "sentence" in want:

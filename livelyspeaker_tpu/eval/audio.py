@@ -32,7 +32,7 @@ __all__ = [
 def stft_mag(y: np.ndarray, n_fft: int = 2048, hop: int = 512) -> np.ndarray:
     """|STFT| with Hann window and centered reflect padding. [F, T]"""
     if np.issubdtype(np.asarray(y).dtype, np.integer):
-        y = np.asarray(y, np.float32) * np.float32(1.0 / 32767.0)  # PCM16
+        y = np.asarray(y, np.float32) * np.float32(1.0 / 32768.0)  # PCM16
     y = np.asarray(y, np.float32)
     pad = n_fft // 2
     y = np.pad(y, pad, mode="reflect" if len(y) > pad else "constant")
@@ -118,7 +118,7 @@ def onset_strength(
     s = power_to_db(melspectrogram(y, sr, n_fft, hop, n_mels))
     diff = np.maximum(0.0, s[:, lag:] - s[:, :-lag])
     env = diff.mean(axis=0)
-    pad = 1 + n_fft // (2 * hop)
+    pad = lag + n_fft // (2 * hop)  # lag + centered compensation
     env = np.concatenate([np.zeros(pad, env.dtype), env])
     return env[: s.shape[1]]
 
@@ -127,21 +127,24 @@ def peak_pick(
     x: np.ndarray, pre_max: int, post_max: int, pre_avg: int, post_avg: int,
     delta: float, wait: int
 ) -> np.ndarray:
-    """librosa.util.peak_pick: local-max + above-local-mean-by-delta + wait."""
+    """librosa.util.peak_pick (0.9.2): local-max + above-local-mean-by-delta
+    + wait.  Windows are python-slice-exclusive — ``x[i-pre : i+post]`` — as
+    in librosa's moving filters (max_length/avg_length = pre + post), with
+    truncation at the boundaries; the wait rule keeps an onset only when
+    ``i > last + wait``."""
     x = np.asarray(x, np.float64)
     n = len(x)
     peaks = []
-    last = -np.inf
     for i in range(n):
         lo_m = max(0, i - pre_max)
-        hi_m = min(n, i + post_max + 1)
+        hi_m = min(n, i + post_max)
         if x[i] != x[lo_m:hi_m].max():
             continue
         lo_a = max(0, i - pre_avg)
-        hi_a = min(n, i + post_avg + 1)
+        hi_a = min(n, i + post_avg)
         if x[i] < x[lo_a:hi_a].mean() + delta:
             continue
-        if peaks and i - peaks[-1] < wait:
+        if peaks and i - peaks[-1] <= wait:
             continue
         peaks.append(i)
     return np.asarray(peaks, np.int64)

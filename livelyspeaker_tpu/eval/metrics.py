@@ -155,7 +155,13 @@ class Alignment:
         """Backtracked-to-RMS-minimum onsets in seconds
         (metric.py:60-74, 186)."""
         oenv = onset_strength(wave, sr=sr)
-        onset_raw = onset_detect(onset_envelope=oenv, sr=sr, backtrack=False)
+        # metric.py:74 calls librosa.onset.onset_detect(onset_envelope=...)
+        # WITHOUT sr=, so the peak-pick windows are sized with librosa's
+        # default sr=22050 even though the envelope is 16 kHz audio; mirror
+        # that quirk (frames_to_time below likewise uses the 22050 default).
+        onset_raw = onset_detect(
+            onset_envelope=oenv, sr=22050, backtrack=False
+        )
         s = stft_mag(wave)
         rms = rms_from_stft(s)
         onset_bt_rms = onset_backtrack(onset_raw, rms)

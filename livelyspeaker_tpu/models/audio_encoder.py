@@ -46,7 +46,7 @@ class WavEncoder(nn.Module):
         if jnp.issubdtype(wav.dtype, jnp.integer):
             # PCM16 records (TedConfig.audio_dtype="int16"): decode on
             # DEVICE — the host ships half the bytes, the cast is free here.
-            wav = wav.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+            wav = wav.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         x = wav[..., None]  # [B, L, 1] (NWC)
         x = nn.Conv(32, (15,), strides=(5,), padding=[(1600, 1600)], name="conv0")(x)
         x = _instance_norm(x)

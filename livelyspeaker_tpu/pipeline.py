@@ -221,7 +221,10 @@ def generate_long_form(
     each window additionally gets a SAG semantic sketch refined by the last
     ``skip_timesteps`` diffusion steps (the full LivelySpeaker composition).
 
-    Returns ``[njoints, nfeats, total_frames]`` (total = full windows).
+    Returns ``[njoints, nfeats, total_frames]`` with
+    ``total_frames = int(len(audio) * fps / sr)`` exactly (min one window):
+    the window grid is extended past the tail with zero-padded audio and the
+    last window's output cropped, so no trailing audio goes motion-less.
     For incremental consumption (streaming serving), use
     :func:`generate_long_form_stream`, which this wraps.
     """
@@ -250,8 +253,10 @@ def generate_long_form_stream(
 ):
     """Generator form of :func:`generate_long_form`: yields
     ``(window_index, new_frames [J, F, K])`` as each window completes —
-    K = nframes for window 0, nframes - n_pre_seq after. Concatenating every
-    chunk on the frame axis reproduces ``generate_long_form`` exactly
+    K = nframes for window 0, nframes - n_pre_seq after (the final window may
+    be cropped shorter so the total matches the audio duration exactly).
+    Concatenating every chunk on the frame axis reproduces
+    ``generate_long_form`` exactly
     (same key schedule). This is what lets serving stream a long request's
     motion incrementally instead of waiting for the whole chain.
     """
@@ -263,7 +268,11 @@ def generate_long_form_stream(
     total_frames = int(len(audio) * fps / sr)
     if total_frames < nf:
         total_frames = nf
-    n_windows = max(1, (total_frames - pre) // hop)
+    # Cover the tail: enough windows that nf + (n-1)*hop >= total_frames
+    # (the last window's audio chunk is zero-padded below), then crop the
+    # final chunk so the yielded frames sum to exactly total_frames.
+    n_windows = max(1, -(-(total_frames - nf) // hop) + 1)
+    excess = nf + (n_windows - 1) * hop - total_frames
 
     seed = np.zeros((1, c.njoints, c.nfeats, nf), np.float32)
     win_samples = int(round(nf / fps * sr))
@@ -289,6 +298,9 @@ def generate_long_form_stream(
         clip = np.asarray(clip[0])  # [J, F, nf]
         # The first `pre` frames of windows > 0 re-synthesise the seed and
         # are dropped; the caller keeps the previously-committed frames.
-        yield w, (clip if w == 0 else clip[:, :, pre:])
+        out = clip if w == 0 else clip[:, :, pre:]
+        if w == n_windows - 1 and excess:
+            out = out[:, :, :-excess]  # audio shorter than the window grid
+        yield w, out
         seed[:] = 0.0
         seed[0, :, :, :pre] = clip[:, :, -pre:]

@@ -56,6 +56,10 @@ class ServeConfig:
     # Backpressure: pending requests beyond this raise ServerOverloaded at
     # submit time (-> HTTP 503) instead of growing latency unboundedly.
     max_queue: int = 128
+    # Long-form requests run a sequential window chain on the caller's
+    # thread; cap how many may be in flight (each window still serialises
+    # on the device lock with the batch worker).
+    max_long_concurrent: int = 2
 
 
 class ServerOverloaded(RuntimeError):
@@ -115,6 +119,13 @@ class GestureBatcher:
         self._requests_served = 0
         self._rejected = 0
         self._latencies_ms: List[float] = []  # rolling, last 512
+        # One lock owns the device: the batch worker and every long-form
+        # chain acquire it per sampler call, so concurrent requests
+        # interleave at window granularity instead of racing dispatches.
+        self._device_lock = threading.Lock()
+        # Counters/latency list are touched by worker + handler threads.
+        self._stats_lock = threading.Lock()
+        self._long_active = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -135,7 +146,8 @@ class GestureBatcher:
         try:
             self._q.put_nowait(req)
         except queue.Full:
-            self._rejected += 1
+            with self._stats_lock:
+                self._rejected += 1
             raise ServerOverloaded(
                 f"pending queue full ({self.cfg.max_queue}); retry later"
             ) from None
@@ -145,24 +157,93 @@ class GestureBatcher:
         return self.submit(audio, **kw).wait(timeout)
 
     def stats(self) -> Dict[str, float]:
-        lat = sorted(self._latencies_ms)
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            batches = self._batches_served
+            requests = self._requests_served
+            rejected = self._rejected
+            long_active = self._long_active
         pct = lambda p: (
             lat[min(int(p * len(lat)), len(lat) - 1)] if lat else 0.0
         )
         return {
-            "batches_served": self._batches_served,
-            "requests_served": self._requests_served,
-            "rejected": self._rejected,
+            "batches_served": batches,
+            "requests_served": requests,
+            "rejected": rejected,
             "pending": self._q.qsize(),
+            "long_active": long_active,
             "mean_batch_occupancy": (
-                self._requests_served / self._batches_served
-                if self._batches_served
-                else 0.0
+                requests / batches if batches else 0.0
             ),
             "latency_ms_p50": round(pct(0.50), 2),
             "latency_ms_p95": round(pct(0.95), 2),
             "latency_ms_p99": round(pct(0.99), 2),
         }
+
+    # ---------------------------------------------------------- long-form
+    def next_key(self) -> jax.Array:
+        """Thread-safe draw from the server's key stream."""
+        with self._stats_lock:
+            self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def long_form_stream(
+        self,
+        audio: np.ndarray,
+        *,
+        speaker: int = 0,
+        guidance: Optional[float] = None,
+        key: Optional[jax.Array] = None,
+        pipeline: Optional[LivelySpeakerPipeline] = None,
+        sentences: Optional[Sequence[str]] = None,
+    ):
+        """Admission-controlled, device-serialised long-form generation.
+
+        Yields ``(window_index, new_frames)`` like
+        :func:`pipeline.generate_long_form_stream`, but (a) at most
+        ``max_long_concurrent`` chains may be in flight (excess raises
+        :class:`ServerOverloaded` -> HTTP 503), and (b) each window's sampler
+        call holds the device lock, so long chains interleave with the batch
+        worker per window instead of starving it.
+        """
+        from .pipeline import generate_long_form_stream
+
+        with self._stats_lock:
+            if self._long_active >= self.cfg.max_long_concurrent:
+                self._rejected += 1
+                raise ServerOverloaded(
+                    f"{self._long_active} long-form requests already in "
+                    "flight; retry later"
+                )
+            self._long_active += 1
+        try:
+            gen = generate_long_form_stream(
+                self.sampler,
+                audio,
+                speaker,
+                key if key is not None else self.next_key(),
+                guidance=(
+                    guidance if guidance is not None
+                    else self.cfg.default_guidance
+                ),
+                pipeline=pipeline,
+                sentences=sentences,
+            )
+            while True:
+                with self._device_lock:  # one window per acquisition
+                    try:
+                        item = next(gen)
+                    except StopIteration:
+                        return
+                yield item
+        finally:
+            with self._stats_lock:
+                self._long_active -= 1
+
+    def long_form(self, audio: np.ndarray, **kw) -> np.ndarray:
+        """Blocking form of :meth:`long_form_stream` -> [J, F, total]."""
+        chunks = [c for _, c in self.long_form_stream(audio, **kw)]
+        return np.concatenate(chunks, axis=-1)
 
     def close(self) -> None:
         self._stop.set()
@@ -224,30 +305,33 @@ class GestureBatcher:
             "vid": jnp.asarray(vid),
             "origin_x": jnp.zeros((bsz,) + self._shape, jnp.float32),
         }
-        self._key, sub = jax.random.split(self._key)
+        sub = self.next_key()
 
         texts = [r.text for r in batch]
-        if self.composition is not None and any(t for t in texts):
-            sentences = [(t or "") for t in texts] + [""] * (bsz - n)
-            out = self.composition(
-                sentences, cond, sub, guidance=jnp.asarray(guidance)
-            )
-        else:
-            out = self.sampler(cond, sub, guidance=jnp.asarray(guidance))
-        out_np = np.asarray(jax.block_until_ready(out))
+        with self._device_lock:
+            if self.composition is not None and any(t for t in texts):
+                sentences = [(t or "") for t in texts] + [""] * (bsz - n)
+                out = self.composition(
+                    sentences, cond, sub, guidance=jnp.asarray(guidance)
+                )
+            else:
+                out = self.sampler(cond, sub, guidance=jnp.asarray(guidance))
+            out_np = np.asarray(jax.block_until_ready(out))
 
-        self._batches_served += 1
-        self._requests_served += n
         now = time.monotonic()
+        with self._stats_lock:
+            self._batches_served += 1
+            self._requests_served += n
+            for r in batch:
+                t0 = getattr(r, "_t_submit", None)
+                if t0 is not None:
+                    self._latencies_ms.append((now - t0) * 1e3)
+            if len(self._latencies_ms) > 512:
+                del self._latencies_ms[:-512]
         for i, r in enumerate(batch):
             r.result = out_np[i]
             r.batch_size = n
-            t0 = getattr(r, "_t_submit", None)
-            if t0 is not None:
-                self._latencies_ms.append((now - t0) * 1e3)
             r.done.set()
-        if len(self._latencies_ms) > 512:
-            del self._latencies_ms[:-512]
 
 
 def build_rag_server(

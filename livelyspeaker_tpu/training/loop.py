@@ -98,8 +98,24 @@ class TrainLoop:
 
     def run_loop(self) -> TrainState:
         t_start = time.time()
-        for epoch in range(self.num_epochs):
+        # Resume fast-forward: re-enter the epoch/batch position the run
+        # stopped at, so host_step stays paired with the same batch stream
+        # as an uninterrupted run (requires a sized, epoch-seeded loader —
+        # DataLoader.set_epoch; plain iterables just restart).
+        start_epoch, skip = 0, 0
+        steps_per_epoch = (
+            len(self.data) if hasattr(self.data, "__len__") else 0
+        )
+        if self.start_step and steps_per_epoch:
+            start_epoch = self.start_step // steps_per_epoch
+            skip = self.start_step % steps_per_epoch
+        for epoch in range(start_epoch, self.num_epochs):
+            if hasattr(self.data, "set_epoch"):
+                self.data.set_epoch(epoch)
             for batch in self.data:
+                if skip:  # mid-epoch resume: drop already-consumed batches
+                    skip -= 1
+                    continue
                 if self._anneal_done():
                     break
                 # Key derived from the GLOBAL step (not a sequential split):

@@ -89,11 +89,20 @@ def make_handler(batcher):
                     # Chunked streaming: one JSON line per completed window
                     # ({"window": i, "motion": [...], "frames": K}), so the
                     # client can animate while later windows still sample.
-                    import jax
-
-                    from livelyspeaker_tpu.pipeline import (
-                        generate_long_form_stream,
+                    # The batcher's long_form_stream admission-controls
+                    # (max_long_concurrent -> 503) and serialises each
+                    # window on the device lock with the batch worker.
+                    gen = batcher.long_form_stream(
+                        audio,
+                        speaker=int(req.get("speaker", 0)),
+                        guidance=(
+                            float(req["guidance"]) if "guidance" in req
+                            else None
+                        ),
                     )
+                    # pull the first window BEFORE committing the status
+                    # line: admission rejection must still be a clean 503
+                    first = next(gen, None)
 
                     self.send_response(200)
                     self.send_header(
@@ -109,12 +118,10 @@ def make_handler(batcher):
                         )
                         self.wfile.flush()
 
-                    for w, chunk in generate_long_form_stream(
-                        batcher.sampler,
-                        audio,
-                        int(req.get("speaker", 0)),
-                        jax.random.PRNGKey(int(t0 * 1e3) & 0x7FFFFFFF),
-                        guidance=float(req.get("guidance", 1.5)),
+                    import itertools
+
+                    for w, chunk in itertools.chain(
+                        [first] if first is not None else [], gen
                     ):
                         write_chunk({
                             "window": w,
@@ -125,18 +132,16 @@ def make_handler(batcher):
                     return
                 if req.get("long"):
                     # Arbitrary-length audio -> one stitched stream; the
-                    # window chain is sequential, so it bypasses the batcher
-                    # (each window still reuses one compiled executable).
-                    import jax
-
-                    from livelyspeaker_tpu.pipeline import generate_long_form
-
-                    motion = generate_long_form(
-                        batcher.sampler,
+                    # window chain is sequential so it can't share a batch,
+                    # but every window serialises on the batcher's device
+                    # lock and admission is capped (max_long_concurrent).
+                    motion = batcher.long_form(
                         audio,
-                        int(req.get("speaker", 0)),
-                        jax.random.PRNGKey(int(t0 * 1e3) & 0x7FFFFFFF),
-                        guidance=float(req.get("guidance", 1.5)),
+                        speaker=int(req.get("speaker", 0)),
+                        guidance=(
+                            float(req["guidance"]) if "guidance" in req
+                            else None
+                        ),
                     )
                     batch_size = 1
                 else:

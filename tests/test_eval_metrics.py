@@ -159,6 +159,51 @@ def test_ted_embedding_matches_reference(rng_np):
 
 
 @requires_reference
+def test_beat_embedding_matches_reference(rng_np):
+    """BEAT FID embedder converter parity: random torch HalfEmbeddingNet
+    (scripts_beat/model/motion_autoencoder.py:38-73,156-167) weights ->
+    pose_embedding_params_from_torch -> identical latents.  Full BEAT scale:
+    pose_dims=282, vae_length=300 (configs/beat.yaml:17,26), 34 frames."""
+    import importlib.util
+    import types
+
+    import torch
+
+    from livelyspeaker_tpu.models.embedding_net import (
+        BeatEmbeddingEncoder,
+        pose_embedding_params_from_torch,
+    )
+
+    # load by file path: scripts_beat's `model` package name collides with
+    # scripts/model already imported by the TED tests
+    spec = importlib.util.spec_from_file_location(
+        "ref_motion_autoencoder",
+        f"{REFERENCE_ROOT}/scripts_beat/model/motion_autoencoder.py",
+    )
+    mae = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mae)
+
+    torch.manual_seed(5)
+    net = mae.HalfEmbeddingNet(
+        types.SimpleNamespace(pose_length=34, pose_dims=282, vae_length=300)
+    )
+    net.eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    poses = rng_np.normal(size=(4, 34, 282)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(poses)).numpy()
+
+    params = pose_embedding_params_from_torch(net.state_dict())
+    got = BeatEmbeddingEncoder().apply({"params": params}, poses)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+@requires_reference
 def test_fgd_parity_vs_reference_evaluator(tmp_path, rng_np):
     """North-star parity: the SAME (generated, real) clips scored by the
     reference's full EmbeddingSpaceEvaluator (ted_evaluator.py:13-151) and

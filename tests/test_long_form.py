@@ -41,11 +41,28 @@ def test_long_form_shapes_and_stitching():
     out = generate_long_form(
         sampler, audio, speaker=1, rng=jax.random.PRNGKey(0), guidance=1.0
     )
-    n_windows = (int(len(audio) * 15 / 16000) - pre) // hop
-    assert out.shape == (cfg.njoints, cfg.nfeats, pre + n_windows * hop)
+    # every audio frame gets motion: total = int(len(audio) * fps / sr)
+    assert out.shape == (cfg.njoints, cfg.nfeats, int(len(audio) * 15 / 16000))
     assert np.isfinite(out).all()
     # the stream must not be constant across window boundaries (real content)
     assert out[:, :, hop - 1 : hop + 1].std() > 0
+
+
+def test_long_form_covers_audio_tail_exactly():
+    """Audio lengths that don't land on the window grid still get motion for
+    every frame (the last window is zero-padded then cropped)."""
+    sampler, cfg = _tiny_sampler()
+    nf, pre = cfg.nframes, cfg.n_pre_seq
+    hop = nf - pre
+    for extra in (1, hop // 2, hop - 1):  # worst case: hop-1 tail frames
+        frames = nf + hop + extra
+        audio = np.zeros(int(frames / 15 * 16000) + 8, np.float32)
+        total = int(len(audio) * 15 / 16000)
+        out = generate_long_form(
+            sampler, audio, speaker=0, rng=jax.random.PRNGKey(2)
+        )
+        assert out.shape[-1] == total, (extra, out.shape[-1], total)
+        assert np.isfinite(out).all()
 
 
 def test_long_form_single_window_short_audio():
@@ -119,10 +136,8 @@ def test_long_form_with_composition_pipeline():
         pipe.rag_sampler, audio, speaker=0, rng=jax.random.PRNGKey(1),
         pipeline=pipe, sentences=["waves a hand", "points left"],
     )
-    hop = cfg.nframes - cfg.n_pre_seq
-    n_windows = (int(len(audio) * 15 / 16000) - cfg.n_pre_seq) // hop
     assert out.shape == (
-        cfg.njoints, cfg.nfeats, cfg.n_pre_seq + n_windows * hop
+        cfg.njoints, cfg.nfeats, int(len(audio) * 15 / 16000)
     )
     assert np.isfinite(out).all()
 
@@ -146,9 +161,12 @@ def test_stream_chunks_concatenate_to_batch_result():
     )
     assert [w for w, _ in chunks] == list(range(len(chunks)))
     assert chunks[0][1].shape[-1] == cfg.nframes
+    # middle chunks are full hops; the final one may be cropped to land
+    # exactly on int(len(audio) * fps / sr) total frames
     assert all(
-        c.shape[-1] == cfg.nframes - cfg.n_pre_seq for _, c in chunks[1:]
+        c.shape[-1] == cfg.nframes - cfg.n_pre_seq for _, c in chunks[1:-1]
     )
+    assert sum(c.shape[-1] for _, c in chunks) == int(len(audio) * 15 / 16000)
     np.testing.assert_array_equal(
         np.concatenate([c for _, c in chunks], axis=-1), whole
     )

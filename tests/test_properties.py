@@ -70,9 +70,12 @@ def test_schedule_invariants(steps, schedule):
     s = DiffusionSchedule.create(steps=steps, schedule=schedule)
     acp = np.asarray(s.alphas_cumprod)
     assert (np.diff(acp) < 0).all()  # strictly decreasing
-    assert acp[0] < 1.0 and acp[-1] > 0.0
+    # at exactly steps=20 the scaled linear beta_end hits 1.0, so the final
+    # alpha (and acp[-1]) is exactly 0 — matching the reference's math
+    assert acp[0] < 1.0 and acp[-1] >= 0.0 and acp[-2] > 0.0
     assert (np.asarray(s.posterior_variance) >= 0).all()
-    assert (np.asarray(s.betas) > 0).all() and (np.asarray(s.betas) < 1).all()
+    betas = np.asarray(s.betas)
+    assert (betas > 0).all() and (betas <= 1).all()
 
 
 @settings(**COMMON)
@@ -102,9 +105,19 @@ def test_respacing_properties(steps, divisor):
 def test_pcm16_roundtrip_error_bound(xs):
     x = np.asarray(xs, np.float32)
     back = pcm16_decode(pcm16_encode(x))
+    # encode rounds at *32768 and clips to int16 range
     np.testing.assert_allclose(
-        back, np.clip(x, -32768 / 32767, 1.0), atol=1.001 / 32767
+        back, np.clip(x, -1.0, 32767 / 32768), atol=0.51 / 32768
     )
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64))
+def test_pcm16_int16_roundtrip_is_bit_lossless(vs):
+    """The 'lossless vs 16-bit WAV source' claim: WAV loader floats
+    (int16/32768) re-encode to the exact source integers."""
+    v = np.asarray(vs, np.int16)
+    as_loaded = v.astype(np.float32) / 32768.0
+    assert np.array_equal(pcm16_encode(as_loaded), v)
 
 
 @settings(**COMMON)

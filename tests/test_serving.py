@@ -186,6 +186,45 @@ def test_batcher_composition_with_text():
         batcher.close()
 
 
+def test_long_form_admission_and_device_serialisation():
+    """Long-form chains are admission-capped (ServerOverloaded beyond
+    max_long_concurrent) and interleave with batched requests on the device
+    lock instead of racing them."""
+    from livelyspeaker_tpu.serving import ServerOverloaded
+
+    batcher, cfg = _tiny_server(max_batch=2, max_wait_ms=5.0)
+    batcher.cfg.max_long_concurrent = 1
+    try:
+        audio = np.zeros(int(80 / 15 * 16000), np.float32)
+        gen = batcher.long_form_stream(audio, speaker=0)
+        first = next(gen)  # admission taken; one window generated
+        assert first[0] == 0
+        assert batcher.stats()["long_active"] == 1
+
+        # second chain must be rejected while the first is in flight
+        gen2 = batcher.long_form_stream(audio, speaker=1)
+        with pytest.raises(ServerOverloaded):
+            next(gen2)
+
+        # a batched request still completes between windows (device lock
+        # is per-window, not per-chain)
+        short = batcher.generate(
+            np.zeros(batcher.n_samples, np.float32), timeout=120.0
+        )
+        assert np.isfinite(short).all()
+
+        rest = list(gen)  # finish the chain -> admission released
+        assert batcher.stats()["long_active"] == 0
+        total = first[1].shape[-1] + sum(c.shape[-1] for _, c in rest)
+        assert total == int(len(audio) * 15 / 16000)
+
+        # a new chain is admitted now
+        out = batcher.long_form(audio, speaker=2)
+        assert out.shape[-1] == int(len(audio) * 15 / 16000)
+    finally:
+        batcher.close()
+
+
 def test_http_server_roundtrip():
     spec = importlib.util.spec_from_file_location(
         "serve_cli", os.path.join(ROOT, "scripts", "serve.py")
@@ -258,9 +297,11 @@ def test_http_streaming_long_request():
         assert [l["window"] for l in lines] == list(range(len(lines)))
         assert lines[0]["frames"] == cfg.nframes
         hop = cfg.nframes - cfg.n_pre_seq
-        assert all(l["frames"] == hop for l in lines[1:])
+        # middle windows are full hops; the last may be cropped so the
+        # total matches the audio duration exactly
+        assert all(l["frames"] == hop for l in lines[1:-1])
         total = sum(l["frames"] for l in lines)
-        assert total == cfg.nframes + (len(lines) - 1) * hop
+        assert total == int(len(audio) * 15 / 16000)
         m0 = np.asarray(lines[0]["motion"])
         assert m0.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
         assert np.isfinite(m0).all()

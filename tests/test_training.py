@@ -295,13 +295,71 @@ def test_resume_is_bit_exact(tmp_path, rng_np):
 
     # Uninterrupted: 4 epochs x 2 batches = 8 steps.
     full = mk(str(tmp_path / "full"), 4).run_loop()
-    # Interrupted: 2 epochs, then a fresh TrainLoop resumes for 2 more.
+    # Interrupted: 2 epochs, then a fresh TrainLoop with the SAME total
+    # num_epochs resumes — run_loop fast-forwards to epoch 2 and finishes
+    # the remaining 2 epochs.
     mk(str(tmp_path / "split"), 2).run_loop()
-    resumed_loop = mk(str(tmp_path / "split"), 2, resume=True)
+    resumed_loop = mk(str(tmp_path / "split"), 4, resume=True)
     assert resumed_loop.start_step == 4
     resumed = resumed_loop.run_loop()
 
     assert int(resumed.step) == int(full.step) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        full.params,
+        resumed.params,
+    )
+
+
+def test_resume_with_shuffled_dataloader_is_trajectory_exact(tmp_path):
+    """Resume exactness for the REAL data path: a shuffled DataLoader's
+    stream is a pure function of (seed, epoch), and run_loop fast-forwards
+    to the interrupted epoch — so interrupted+resumed training consumes the
+    identical batch sequence (not just the identical RNG keys) and lands on
+    bit-identical params."""
+    from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+    from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records
+    from livelyspeaker_tpu.training.loop import TrainLoop
+
+    data_dir = str(tmp_path / "records")
+    build_synthetic_ted_records(data_dir, n_clips=2, clip_seconds=8)
+    ds = TedWindowDataset(data_dir)
+    loader = DataLoader(
+        ds, batch_size=4, shuffle=True, drop_last=True, seed=11,
+        fields=["motion", "audio", "vid"],
+    )
+    assert len(loader) >= 2
+
+    cfg = RAGConfig.ted(latent_dim=32, num_layers=1)
+    model = RAG(cfg)
+    b0 = ds.batch(range(4), fields=["motion", "audio", "vid"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1),
+         "cond_mask": jax.random.PRNGKey(2)},
+        jnp.asarray(b0["motion"]),
+        jnp.zeros((4,), jnp.int32),
+        {"audio": jnp.asarray(b0["audio"]), "vid": jnp.asarray(b0["vid"]),
+         "origin_x": jnp.asarray(b0["motion"])},
+        train=True,
+    )["params"]
+    sched = DiffusionSchedule.create(steps=20)
+
+    def mk(save_dir, epochs, resume=False):
+        return TrainLoop(
+            model, sched, params, loader, cfg=TrainConfig(lr=1e-3),
+            save_dir=save_dir, num_epochs=epochs, log_interval=1000,
+            save_after_epoch=-1, save_every_epochs=1, seed=7, resume=resume,
+        )
+
+    full = mk(str(tmp_path / "full"), 2).run_loop()
+    mk(str(tmp_path / "split"), 1).run_loop()
+    resumed_loop = mk(str(tmp_path / "split"), 2, resume=True)
+    assert resumed_loop.start_step == len(loader)
+    resumed = resumed_loop.run_loop()
+
+    assert int(resumed.step) == int(full.step) == 2 * len(loader)
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)
