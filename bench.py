@@ -95,6 +95,67 @@ def main():
 
     from livelyspeaker_tpu.models.fast_rag import make_fused_cfg_denoiser
 
+    # --- on-device correctness gate (default ON; skip with --no-verify) ---
+    # The headline number rides on the Mosaic-compiled fused kernel, whose
+    # parity is otherwise asserted only in CPU interpret mode
+    # (tests/test_pallas_kernels.py). Before timing, run a short DDPM chain
+    # through BOTH denoisers with identical keys on the real device and fail
+    # the bench if they diverge — interpret mode does not exercise Mosaic's
+    # tiling/layout decisions, this does.
+    if "--no-verify" not in sys.argv:
+        vb = 16
+        vcond = {k: v[:vb] for k, v in cond.items()}
+        # Pin the speaker-VAE noise via the documented determinism hatch:
+        # the two closures derive their per-step style keys differently
+        # (flax make_rng("style") vs the raw scan key), which is a sampler-
+        # stream difference, not a kernel one — this gate isolates the
+        # kernel math.
+        vcond["style_eps"] = jnp.asarray(
+            np.random.default_rng(9).normal(
+                size=(vb, 1, cfg.latent_dim)
+            ).astype(np.float32)
+        )
+        vsched = DiffusionSchedule.create(
+            steps=STEPS, schedule="cosine", timestep_respacing="10"
+        )
+        vshape = (vb, 9, 3, 34)
+
+        def chain(denoise):
+            return jax.jit(
+                lambda k: sample_loop(
+                    denoise, vsched, vshape, k, method="ddpm"
+                )
+            )(jax.random.PRNGKey(7))
+
+        ref = jax.block_until_ready(
+            chain(make_cfg_denoiser(model, params, vcond, 1.5))
+        )
+        try:
+            fused = jax.block_until_ready(
+                chain(make_fused_cfg_denoiser(model, params, vcond, 1.5))
+            )
+        except Exception as e:
+            print(f"verify: fused path failed to run: {e}", file=sys.stderr)
+            fused = None
+        if fused is not None:
+            delta = float(jnp.max(jnp.abs(fused - ref)))
+            scale = float(jnp.max(jnp.abs(ref)))
+            rel = delta / max(scale, 1e-12)
+            print(
+                f"verify: fused-vs-XLA 10-step DDPM chain max|delta|="
+                f"{delta:.3e} (ref max|x|={scale:.3f}, rel={rel:.2e})",
+                file=sys.stderr,
+            )
+            # Both paths run TPU-default bf16-precision matmuls with
+            # different groupings (split input projection, in-kernel pose
+            # proj), so per-call reorder noise is ~1e-3 relative and the
+            # 10-step chain compounds to ~5e-3; measured 2026-08-17. A real
+            # semantic divergence (e.g. the style-RNG mismatch this gate
+            # first caught) shows up at rel ~2.5e-1.
+            assert rel <= 2e-2, (
+                f"fused kernel diverges from XLA on device: rel={rel:.3e}"
+            )
+
     # The fused Pallas path is the production sampler; measure it by default.
     # (`--both` additionally times the XLA path — compiles are expensive on
     # this host and the remote-compile cache is ineffective, so the default
