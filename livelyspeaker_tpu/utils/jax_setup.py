@@ -18,6 +18,13 @@ _DEFAULT_CACHE = os.path.expanduser("~/.cache/livelyspeaker_tpu/jax_cache")
 def setup(cache_dir: str | None = None, min_compile_secs: float = 5.0) -> None:
     import jax
 
+    # Boot hooks on managed hosts force jax_platforms past the
+    # JAX_PLATFORMS env var; LS_TPU_PLATFORM is honoured here instead
+    # (subprocess tests and CPU-only smoke runs set it to "cpu").
+    platform = os.environ.get("LS_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = cache_dir or os.environ.get(
         "LS_TPU_JAX_CACHE", _DEFAULT_CACHE
     )

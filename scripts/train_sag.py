@@ -45,6 +45,13 @@ def parse_args():
     g.add_argument("--bpe_path", type=str, default="")
     g.add_argument("--clip_layers", type=int, default=12,
                    help="text-tower depth; lower for smoke runs")
+    g.add_argument("--eval_model_path", type=str, default="",
+                   help="frozen gesture-autoencoder ckpt for the FGD hook "
+                        "(random evaluator if absent)")
+    g.add_argument("--eval_interval", type=int, default=100,
+                   help="epochs between in-training FGD evaluations with "
+                        "the frozen evaluator (SAG_trainer.py:153-163,"
+                        "218-235); 0 disables")
     return p.parse_args()
 
 
@@ -71,7 +78,13 @@ def main():
     )
     from livelyspeaker_tpu.models.clip_text import CLIPTextConfig
 
-    clip_model = CLIPTextEncoder(CLIPTextConfig(layers=args.clip_layers))
+    # With real OpenAI weights the text embed dim is fixed at 512 (== the
+    # reference SAG latent); a random smoke tower follows --latent_dim so
+    # the cos loss is well-shaped at any size.
+    clip_model = CLIPTextEncoder(CLIPTextConfig(
+        layers=args.clip_layers,
+        embed_dim=512 if args.clip_path else args.latent_dim,
+    ))
     if args.clip_path:
         import torch
 
@@ -123,8 +136,59 @@ def main():
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, losses
 
+    # In-training FGD tracking (SAG_trainer.py:153-163,218-235): every
+    # --eval_interval epochs autoencode an eval pass, embed decoded vs real
+    # clips with the frozen evaluator, log the FGD, and keep the best
+    # checkpoint as sag_best.npz.
+    evaluator = None
+    if args.eval_interval:
+        from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
+        from livelyspeaker_tpu.models.embedding_net import TedEmbeddingEncoder
+
+        if args.eval_model_path and os.path.exists(args.eval_model_path):
+            evaluator = EmbeddingSpaceEvaluator.from_torch_checkpoint(
+                args.eval_model_path
+            )
+        else:
+            pose_dim = args.njoints * args.nfeats
+            enc = TedEmbeddingEncoder(pose_dim=pose_dim,
+                                      n_frames=args.n_poses)
+            evaluator = EmbeddingSpaceEvaluator(
+                enc.init(
+                    jax.random.PRNGKey(1),
+                    jnp.zeros((1, args.n_poses, pose_dim)),
+                )["params"],
+                pose_dim=pose_dim,
+                n_frames=args.n_poses,
+            )
+            print("WARNING: random frozen FGD evaluator "
+                  "(no --eval_model_path)")
+
+    eval_loader = DataLoader(
+        dataset,
+        batch_size=min(args.batch_size, max(len(dataset) // 2, 1)),
+        shuffle=False,
+        seed=args.seed,
+    )
+    autoencode = jax.jit(
+        lambda p, m: model.apply({"params": p}, m)["output"]
+    )
+
+    def eval_fgd(p) -> float:
+        evaluator.reset()
+        for batch in eval_loader:
+            real = np.asarray(batch["motion"])  # [B, J, F, T]
+            gen = np.asarray(autoencode(p, jnp.asarray(real)))
+            to_eval = lambda m: m.transpose(0, 3, 1, 2).reshape(
+                m.shape[0], args.n_poses, -1
+            )
+            evaluator.push_samples(to_eval(gen), to_eval(real))
+        fgd, _ = evaluator.get_scores()
+        return float(fgd)
+
     rng = jax.random.PRNGKey(args.seed)
     step = 0
+    best_fgd = float("inf")
     for epoch in range(args.epochs):
         for batch in loader:
             toks = jnp.asarray(tokenizer(batch["sentence"]))
@@ -139,11 +203,25 @@ def main():
                 logger.logkv("step", step)
                 logger.dumpkvs()
             step += 1
+        if evaluator is not None and (
+            epoch % args.eval_interval == 0 or epoch == args.epochs - 1
+        ):
+            fgd = eval_fgd(params)
+            logger.logkv("eval_fgd", fgd)
+            logger.logkv("step", step)
+            logger.dumpkvs()
+            if fgd < best_fgd:
+                best_fgd = fgd
+                save_params_npz(
+                    os.path.join(args.save_dir, "sag_best.npz"), params
+                )
+                print(f"epoch {epoch}: new best FGD {fgd:.6g} -> sag_best.npz")
         if epoch % args.save_interval == 0 or epoch == args.epochs - 1:
             save_params_npz(
                 os.path.join(args.save_dir, f"sag{step:09d}.npz"), params
             )
-    print(f"done at step {step}")
+    print(f"done at step {step}; best FGD "
+          f"{best_fgd if best_fgd < float('inf') else 'n/a'}")
 
 
 if __name__ == "__main__":
