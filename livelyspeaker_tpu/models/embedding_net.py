@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -54,8 +55,16 @@ class PoseEmbeddingEncoder(nn.Module):
     # training your own evaluation fixture via GestureAutoencoder).
     trainable_bn: bool = False
 
-    @nn.compact
     def __call__(self, poses: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        # Metric fixtures must be numerically faithful to the torch
+        # evaluator: force true-f32 matmuls (TPU's default bf16-precision
+        # dots give ~1e-3 latent deltas on the wide BEAT net, which blow up
+        # relative FID when the score is near zero). Off the hot path.
+        with jax.default_matmul_precision("float32"):
+            return self._encode(poses, train=train)
+
+    @nn.compact
+    def _encode(self, poses: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         x = poses  # NWC: [B, T, D]; torch runs NCW with D as channels
 
         def bn(x, name, feat):

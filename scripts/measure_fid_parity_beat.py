@@ -93,8 +93,17 @@ def reference_fid_calculator():
         info=lambda *a, **k: None, warning=lambda *a, **k: None
     )
     sys.modules.setdefault("loguru", log)
+    # pymo.viz_tools imports IPython -> cProfile -> stdlib `profile`, which
+    # our scripts/profile.py would shadow: drop this scripts dir from
+    # sys.path for the duration of the reference import.
+    here = os.path.dirname(os.path.abspath(__file__))
+    saved = list(sys.path)
+    sys.path = [p for p in sys.path if os.path.abspath(p or ".") != here]
     sys.path.insert(0, f"{REFERENCE_ROOT}/scripts_beat")
-    return importlib.import_module("dataloaders.data_tools").FIDCalculator
+    try:
+        return importlib.import_module("dataloaders.data_tools").FIDCalculator
+    finally:
+        sys.path = saved
 
 
 def main():

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Flagship-scale training soak with mid-run kill/resume and raw-vs-EMA eval.
+
+Exercises the whole training harness at the real config on the device —
+latent 512, 8 mixer blocks, batch 512, thousands of steps — with EMA,
+loss-aware timestep sampling, and quartile logging all ON (reference
+TrainLoop protocol, scripts/train_utils/train_loop.py:108-225):
+
+  1. run A ("full"): train EPOCHS epochs uninterrupted;
+  2. run B ("split"): same seed, train EPOCHS//2 epochs, then a fresh
+     process resumes from the checkpoint and finishes;
+  3. assert the two final param sets are BIT-IDENTICAL (trajectory-exact
+     resume at flagship scale: fold_in-by-step RNG + epoch-seeded loader);
+  4. evaluate FGD vs a frozen fixture embedder from BOTH the raw and the
+     EMA params of run A.
+
+Prints one JSON summary line; exits nonzero on any mismatch.
+
+Usage:
+    python scripts/soak_flagship.py [--epochs 1500] [--batch_size 512] \
+        [--out /tmp/soak]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args, **kw):
+    print("+", " ".join(args), file=sys.stderr, flush=True)
+    t0 = time.time()
+    proc = subprocess.run(args, cwd=ROOT, **kw)
+    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+    assert proc.returncode == 0, f"command failed: {args}"
+    return proc
+
+
+def train_cmd(save_dir, epochs, data_dir, a, resume=False):
+    cmd = [
+        sys.executable, "scripts/train_rag.py",
+        "--dataset", "ted", "--data_dir", data_dir,
+        "--latent_dim", str(a.latent_dim), "--layers", str(a.layers),
+        "--batch_size", str(a.batch_size), "--epochs", str(epochs),
+        "--save_dir", save_dir, "--save_interval", str(a.save_interval),
+        "--log_interval", str(a.log_interval),
+        "--schedule_sampler", "loss-second-moment",
+        "--ema_rate", "0.9999",
+        "--seed", "233",
+    ]
+    if resume:
+        cmd += ["--resume_checkpoint", "1"]
+    return cmd
+
+
+def final_npz(save_dir, prefix="model"):
+    import glob
+
+    paths = sorted(
+        p for p in glob.glob(os.path.join(save_dir, f"{prefix}*.npz"))
+        if "ema" not in os.path.basename(p) or prefix.endswith("ema")
+    )
+    assert paths, f"no {prefix}*.npz in {save_dir}"
+    return paths[-1]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=1500)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--latent_dim", type=int, default=512)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--save_interval", type=int, default=100)
+    p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--n_clips", type=int, default=40)
+    p.add_argument("--out", type=str, default="/tmp/soak_flagship")
+    a = p.parse_args()
+
+    os.makedirs(a.out, exist_ok=True)
+    data_dir = os.path.join(a.out, "records")
+    if not os.path.exists(os.path.join(data_dir, "meta.json")):
+        from livelyspeaker_tpu.data.synthetic import (
+            build_synthetic_ted_records,
+        )
+
+        print(f"building {a.n_clips}-clip synthetic records...",
+              file=sys.stderr)
+        build_synthetic_ted_records(
+            data_dir, n_clips=a.n_clips, clip_seconds=20
+        )
+
+    t0 = time.time()
+    full_dir, split_dir = f"{a.out}/full", f"{a.out}/split"
+    sh(train_cmd(full_dir, a.epochs, data_dir, a))
+    t_full = time.time() - t0
+    sh(train_cmd(split_dir, a.epochs // 2, data_dir, a))
+    sh(train_cmd(split_dir, a.epochs, data_dir, a, resume=True))
+
+    # --- trajectory-exactness at flagship scale -------------------------
+    import numpy as np
+
+    pa = np.load(final_npz(full_dir))
+    pb = np.load(final_npz(split_dir))
+    assert sorted(pa.files) == sorted(pb.files)
+    max_delta = 0.0
+    for k in pa.files:
+        d = float(np.max(np.abs(pa[k] - pb[k]))) if pa[k].size else 0.0
+        max_delta = max(max_delta, d)
+    bit_exact = max_delta == 0.0
+    print(f"resume exactness: max|delta|={max_delta}", file=sys.stderr)
+
+    # --- FGD from raw vs EMA params (frozen fixture embedder) -----------
+    from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+
+    import jax
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+    from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
+    from livelyspeaker_tpu.models import RAG, RAGConfig
+    from livelyspeaker_tpu.models.embedding_net import TedEmbeddingEncoder
+    from livelyspeaker_tpu.pipeline import RAGSampler
+    from livelyspeaker_tpu.training.checkpoints import load_params_npz
+
+    dataset = TedWindowDataset(data_dir)
+    cfg = RAGConfig.ted(latent_dim=a.latent_dim, num_layers=a.layers)
+    model = RAG(cfg)
+    enc = TedEmbeddingEncoder()
+    fixture = EmbeddingSpaceEvaluator(
+        enc.init(jax.random.PRNGKey(11), jnp.zeros((1, 34, 27)))["params"]
+    )
+
+    def eval_fgd(model_path):
+        params = load_params_npz(model_path)
+        sampler = RAGSampler(
+            model, params, steps=1000, timestep_respacing="ddim20",
+            method="ddim",
+        )
+        loader = DataLoader(
+            dataset, batch_size=64, shuffle=False, drop_last=True, seed=233,
+        )
+        fixture.reset()
+        rng = jax.random.PRNGKey(233)
+        for batch in loader:
+            b = batch["motion"].shape[0]
+            cond = {
+                "audio": jnp.asarray(batch["audio"]),
+                "vid": jnp.asarray(batch["vid"]),
+                "origin_x": jnp.asarray(batch["motion"]),
+            }
+            rng, srng = jax.random.split(rng)
+            sample = sampler(cond, srng, guidance=1.0)
+            gen = np.asarray(sample).transpose(0, 3, 1, 2).reshape(b, 34, -1)
+            fixture.push_samples(gen, batch["vec_seq"])
+        fgd, _ = fixture.get_scores()
+        return float(fgd)
+
+    fgd_raw = eval_fgd(final_npz(full_dir))
+    fgd_ema = eval_fgd(final_npz(full_dir, prefix="model_ema"))
+
+    print(json.dumps({
+        "epochs": a.epochs,
+        "batch_size": a.batch_size,
+        "full_run_seconds": round(t_full, 1),
+        "resume_bit_exact": bit_exact,
+        "resume_max_param_delta": max_delta,
+        "fgd_raw": fgd_raw,
+        "fgd_ema": fgd_ema,
+    }))
+    assert bit_exact, "flagship-scale resume is not bit-exact"
+
+
+if __name__ == "__main__":
+    main()
