@@ -51,7 +51,14 @@ def synthetic_clips(
     native_fps: int = 20,
     n_speakers: int = 4,
     seed: int = 233,
+    modes: int = 0,
 ) -> Iterable[Dict]:
+    """With ``modes=K>0`` the motion distribution is conditionally
+    MULTIMODAL: each clip follows one of K fixed sinusoid archetypes (cycled
+    per clip, independent of audio/speaker), plus small per-clip noise.
+    The conditioning cannot identify the archetype, so p(motion | cond) has
+    K distinct modes — the regime where few-step deterministic samplers
+    degrade by averaging modes (used by the distillation quality study)."""
     rng = np.random.default_rng(seed)
     mean_dv = MEAN_DIR_VEC.reshape(9, 3)
     for c in range(n_clips):
@@ -60,6 +67,14 @@ def synthetic_clips(
         wob = _smooth_noise(rng, n_frames, 27, native_fps).reshape(
             n_frames, 9, 3
         )
+        if modes:
+            mrng = np.random.default_rng(1000 + c % modes)
+            f = mrng.uniform(0.3, 1.8, size=27)
+            ph = mrng.uniform(0, 2 * np.pi, size=27)
+            amp = mrng.uniform(0.5, 1.0, size=27)
+            tg = (np.arange(n_frames) / native_fps)[:, None]
+            arch = (amp[None] * np.sin(2 * np.pi * f[None] * tg + ph[None]))
+            wob = 0.85 * arch.reshape(n_frames, 9, 3) + 0.15 * wob
         dv = mean_dv[None] + 0.35 * wob
         dv /= np.maximum(np.linalg.norm(dv, axis=-1, keepdims=True), 1e-9)
         skeletons = _skeleton_from_dir_vecs(dv)
@@ -136,11 +151,15 @@ def build_synthetic_ted_records(
     clip_seconds: float = 12.0,
     seed: int = 233,
     cfg: TedConfig | None = None,
+    modes: int = 0,
 ):
     cfg = cfg or TedConfig()
     n, vocab = build_ted_records(
         cfg,
-        synthetic_clips(n_clips=n_clips, clip_seconds=clip_seconds, seed=seed),
+        synthetic_clips(
+            n_clips=n_clips, clip_seconds=clip_seconds, seed=seed,
+            modes=modes,
+        ),
         out_dir,
         disable_filtering=False,
     )

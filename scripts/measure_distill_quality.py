@@ -44,6 +44,10 @@ def main():
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--guidance", type=float, default=1.0)
+    p.add_argument("--modes", type=int, default=0,
+                   help="K>0: conditionally-multimodal fixture (K sinusoid "
+                        "archetypes the conditioning cannot identify) — the "
+                        "regime where few-step DDIM should degrade")
     args = p.parse_args()
 
     import optax
@@ -64,9 +68,19 @@ def main():
         make_train_step,
     )
 
-    data_dir = os.path.join(tempfile.gettempdir(), "ls_tpu_synth")
-    if not os.path.exists(os.path.join(data_dir, "meta.json")):
-        build_synthetic_ted_records(data_dir, n_clips=8, clip_seconds=20)
+    if args.modes:
+        data_dir = os.path.join(
+            tempfile.gettempdir(), f"ls_tpu_synth_m{args.modes}"
+        )
+        if not os.path.exists(os.path.join(data_dir, "meta.json")):
+            build_synthetic_ted_records(
+                data_dir, n_clips=4 * args.modes, clip_seconds=20,
+                modes=args.modes,
+            )
+    else:
+        data_dir = os.path.join(tempfile.gettempdir(), "ls_tpu_synth")
+        if not os.path.exists(os.path.join(data_dir, "meta.json")):
+            build_synthetic_ted_records(data_dir, n_clips=8, clip_seconds=20)
     dataset = TedWindowDataset(data_dir)
     loader = DataLoader(
         dataset,
