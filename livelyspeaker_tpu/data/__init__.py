@@ -1,6 +1,6 @@
 """Data pipeline: sharded records, loaders, TED/BEAT datasets, tokenizers."""
 
-from .loader import DataLoader
+from .loader import DataLoader, DeviceDataLoader
 from .records import ShardedDataset, ShardWriter
 from .ted import (
     PROMPT,

@@ -16,7 +16,82 @@ from typing import Callable, Dict, Iterator, Optional, Sequence
 import jax
 import numpy as np
 
-__all__ = ["DataLoader"]
+__all__ = ["DataLoader", "DeviceDataLoader"]
+
+
+class DeviceDataLoader:
+    """Device-resident batching: stage the ENTIRE dataset in HBM once, then
+    per step ship only a [B] int32 index vector and gather on device.
+
+    On remote-dispatch TPU hosts the streaming :class:`DataLoader` is
+    transfer-bound for wide fields (a 512-clip float32 audio batch is
+    ~92 MB per step through the host tunnel, ~5 s/step, vs 26 ms of device
+    compute); with the data resident, steady-state training returns to
+    dispatch-bound. Use whenever the training fields fit HBM (synthetic
+    fixtures, BEAT-scale sets, soak runs: the 1040-window soak set is
+    ~50 MB as PCM16). Multi-host / sharded-batch training keeps the
+    streaming loader.
+
+    Same iteration contract as :class:`DataLoader` (epoch-pure shuffles via
+    ``set_epoch``, ``drop_last``, ``len``); yields dicts of device arrays.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 233,
+        fields: Optional[Sequence[str]] = None,
+    ):
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._seed = seed
+        self.epoch = 0
+        n = len(dataset)
+        host = (
+            dataset.batch(np.arange(n), fields=list(fields))
+            if fields is not None
+            else dataset.batch(np.arange(n))
+        )
+        # training fields only — keep integer storage (PCM16 audio decodes
+        # on device in WavEncoder), drop non-array tracks
+        self._dev = {
+            k: jax.device_put(v)
+            for k, v in host.items()
+            if isinstance(v, np.ndarray) and v.dtype != object
+        }
+        self._n = n
+        # one dispatch per step: a jitted multi-field gather
+        self._gather = jax.jit(
+            lambda dev, idx: {k: jnp.take(v, idx, axis=0) for k, v in dev.items()}
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self._n // self.batch_size
+        return (self._n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        idx = np.arange(self._n)
+        if self.shuffle:
+            np.random.default_rng([self._seed, self.epoch]).shuffle(idx)
+        self.epoch += 1
+        for s in range(0, self._n, self.batch_size):
+            chunk = idx[s : s + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self._gather(self._dev, jnp.asarray(chunk, jnp.int32))
 
 
 class DataLoader:

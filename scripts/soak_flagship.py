@@ -52,7 +52,12 @@ def train_cmd(save_dir, epochs, data_dir, a, resume=False):
         "--save_dir", save_dir, "--save_interval", str(a.save_interval),
         "--log_interval", str(a.log_interval),
         "--schedule_sampler", "loss-second-moment",
-        "--ema_rate", "0.9999",
+        # EMA horizon must fit the run: at rate r the init keeps weight
+        # r^steps (0.9999^3000 = 0.74 -> EMA still ~3/4 random init, FGD
+        # ~16; 0.999^3000 = 0.05 -> EMA tracks the trained model). The
+        # reference's 0.9999 presumes 100k+-step runs.
+        "--ema_rate", str(a.ema_rate),
+        "--device_resident", "1",
         "--seed", "233",
     ]
     if resume:
@@ -80,6 +85,7 @@ def main():
     p.add_argument("--save_interval", type=int, default=100)
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--n_clips", type=int, default=40)
+    p.add_argument("--ema_rate", type=float, default=0.999)
     p.add_argument("--out", type=str, default="/tmp/soak_flagship")
     a = p.parse_args()
 
@@ -89,11 +95,15 @@ def main():
         from livelyspeaker_tpu.data.synthetic import (
             build_synthetic_ted_records,
         )
+        from livelyspeaker_tpu.data.ted import TedConfig
 
         print(f"building {a.n_clips}-clip synthetic records...",
               file=sys.stderr)
+        # PCM16 records (the production storage format): half the staging
+        # bytes; audio decodes on device in WavEncoder
         build_synthetic_ted_records(
-            data_dir, n_clips=a.n_clips, clip_seconds=20
+            data_dir, n_clips=a.n_clips, clip_seconds=20,
+            cfg=TedConfig(audio_dtype="int16"),
         )
 
     t0 = time.time()

@@ -61,18 +61,34 @@ def main():
                          if dataset.speaker_model else 0)
 
     mesh = create_mesh()  # all available devices, pure DP by default
-    loader = DataLoader(
-        dataset,
-        batch_size=min(args.batch_size, max(len(dataset) // 2, 1)),
-        shuffle=True,
-        seed=args.seed,
-        sharding=batch_sharding(mesh),
-        # training consumes 3-4 of the 7-8 record fields; skipping the
-        # eval-only tracks roughly doubles assembly throughput on 1-core hosts
-        fields=("motion", "audio", "vid", "emo")
+    # training consumes 3-4 of the 7-8 record fields; skipping the
+    # eval-only tracks roughly doubles assembly throughput on 1-core hosts
+    train_fields = (
+        ("motion", "audio", "vid", "emo")
         if args.dataset == "beat"
-        else ("motion", "audio", "vid"),
+        else ("motion", "audio", "vid")
     )
+    if args.device_resident:
+        from livelyspeaker_tpu.data import DeviceDataLoader
+
+        # whole dataset staged in HBM once; per-step host traffic is a [B]
+        # index vector (remote-dispatch hosts are otherwise transfer-bound)
+        loader = DeviceDataLoader(
+            dataset,
+            batch_size=min(args.batch_size, max(len(dataset) // 2, 1)),
+            shuffle=True,
+            seed=args.seed,
+            fields=train_fields,
+        )
+    else:
+        loader = DataLoader(
+            dataset,
+            batch_size=min(args.batch_size, max(len(dataset) // 2, 1)),
+            shuffle=True,
+            seed=args.seed,
+            sharding=batch_sharding(mesh),
+            fields=train_fields,
+        )
 
     cfg = RAGConfig(
         njoints=args.njoints,

@@ -182,6 +182,31 @@ def test_loader_batching(synthetic_records):
     assert not np.allclose(b["motion"], b2["motion"])
 
 
+def test_device_resident_loader_matches_streaming(synthetic_records):
+    """DeviceDataLoader (HBM-staged dataset, per-step index gather) must
+    yield the exact batch stream of the streaming DataLoader for the same
+    (seed, epoch): identical shuffles, identical rows."""
+    from livelyspeaker_tpu.data import DeviceDataLoader
+
+    root, n, _ = synthetic_records
+    ds = TedWindowDataset(root)
+    fields = ("motion", "audio", "vid")
+    stream = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                        seed=5, fields=fields)
+    resident = DeviceDataLoader(ds, batch_size=4, shuffle=True,
+                                drop_last=True, seed=5, fields=fields)
+    assert len(stream) == len(resident) == n // 4
+    for epoch in range(2):
+        stream.set_epoch(epoch)
+        resident.set_epoch(epoch)
+        for bs, br in zip(stream, resident):
+            assert set(br) == set(fields)
+            for k in fields:
+                np.testing.assert_array_equal(
+                    np.asarray(bs[k]), np.asarray(br[k])
+                )
+
+
 def test_loader_multihost_split(synthetic_records):
     root, n, _ = synthetic_records
     ds = TedWindowDataset(root)
