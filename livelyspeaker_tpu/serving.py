@@ -72,6 +72,9 @@ class GestureRequest:
     speaker: int = 0
     guidance: Optional[float] = None
     text: Optional[str] = None  # routes through the SAG composition if set
+    # [njoints, nfeats, n_pre_seq] seed frames for window-chained long-form
+    # generation (the reference's seed mechanism, RAG.py:80-96)
+    seed_frames: Optional[np.ndarray] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None  # [njoints, nfeats, nframes]
     error: Optional[BaseException] = None
@@ -137,12 +140,30 @@ class GestureBatcher:
         speaker: int = 0,
         guidance: Optional[float] = None,
         text: Optional[str] = None,
+        seed_frames: Optional[np.ndarray] = None,
+        block: bool = False,
     ) -> GestureRequest:
+        """Enqueue one window. ``block=False`` (external requests) rejects
+        with :class:`ServerOverloaded` when the queue is full; ``block=True``
+        (already-admitted long-form chains submitting their next window)
+        waits for space instead, so a chain can't be killed mid-stream by
+        transient bursts."""
         a = np.zeros((self.n_samples,), np.float32)
         src = np.asarray(audio, np.float32).reshape(-1)[: self.n_samples]
         a[: src.shape[0]] = src
-        req = GestureRequest(audio=a, speaker=speaker, guidance=guidance, text=text)
+        req = GestureRequest(
+            audio=a, speaker=speaker, guidance=guidance, text=text,
+            seed_frames=seed_frames,
+        )
         req._t_submit = time.monotonic()
+        if block:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(req, timeout=0.2)
+                    return req
+                except queue.Full:
+                    continue
+            raise RuntimeError("server shutting down")
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -193,21 +214,24 @@ class GestureBatcher:
         *,
         speaker: int = 0,
         guidance: Optional[float] = None,
-        key: Optional[jax.Array] = None,
-        pipeline: Optional[LivelySpeakerPipeline] = None,
         sentences: Optional[Sequence[str]] = None,
+        fps: int = 15,
+        sr: int = 16000,
+        window_timeout: float = 300.0,
     ):
-        """Admission-controlled, device-serialised long-form generation.
+        """Admission-controlled long-form generation THROUGH the batcher.
 
-        Yields ``(window_index, new_frames)`` like
-        :func:`pipeline.generate_long_form_stream`, but (a) at most
-        ``max_long_concurrent`` chains may be in flight (excess raises
-        :class:`ServerOverloaded` -> HTTP 503), and (b) each window's sampler
-        call holds the device lock, so long chains interleave with the batch
-        worker per window instead of starving it.
+        Yields ``(window_index, new_frames)`` with the exact audio-coverage
+        semantics of :func:`pipeline.generate_long_form_stream` (seed-frame
+        chaining, tail window zero-padded then cropped so the totals match
+        the audio duration). Each window is submitted as an ordinary
+        :class:`GestureRequest`, so M concurrent long chains and any
+        short requests coalesce into shared ``max_batch`` executables — a
+        chain is sequential with itself but batches with everything else.
+        At most ``max_long_concurrent`` chains may be in flight (excess
+        raises :class:`ServerOverloaded` -> HTTP 503); window submissions
+        from admitted chains block (never 503 mid-stream).
         """
-        from .pipeline import generate_long_form_stream
-
         with self._stats_lock:
             if self._long_active >= self.cfg.max_long_concurrent:
                 self._rejected += 1
@@ -217,25 +241,32 @@ class GestureBatcher:
                 )
             self._long_active += 1
         try:
-            gen = generate_long_form_stream(
-                self.sampler,
-                audio,
-                speaker,
-                key if key is not None else self.next_key(),
-                guidance=(
-                    guidance if guidance is not None
-                    else self.cfg.default_guidance
-                ),
-                pipeline=pipeline,
-                sentences=sentences,
-            )
-            while True:
-                with self._device_lock:  # one window per acquisition
-                    try:
-                        item = next(gen)
-                    except StopIteration:
-                        return
-                yield item
+            c = self.sampler.model.cfg
+            nf, pre = c.nframes, c.n_pre_seq
+            hop = nf - pre
+            total = max(int(len(audio) * fps / sr), nf)
+            n_windows = max(1, -(-(total - nf) // hop) + 1)
+            excess = nf + (n_windows - 1) * hop - total
+            seed = None
+            for w in range(n_windows):
+                s0 = int(round(w * hop / fps * sr))
+                text = (
+                    sentences[w % len(sentences)] if sentences else None
+                )
+                req = self.submit(
+                    np.asarray(audio[s0 : s0 + self.n_samples]),
+                    speaker=speaker,
+                    guidance=guidance,
+                    text=text,
+                    seed_frames=seed,
+                    block=True,
+                )
+                clip = req.wait(window_timeout)  # [J, F, nf]
+                out = clip if w == 0 else clip[:, :, pre:]
+                if w == n_windows - 1 and excess:
+                    out = out[:, :, :-excess]
+                yield w, out
+                seed = clip[:, :, -pre:]
         finally:
             with self._stats_lock:
                 self._long_active -= 1
@@ -290,11 +321,15 @@ class GestureBatcher:
         audio = np.zeros((bsz, self.n_samples), np.float32)
         vid = np.zeros((bsz,), np.int64)
         guidance = np.full((bsz,), self.cfg.default_guidance, np.float32)
+        origin = np.zeros((bsz,) + self._shape, np.float32)
         for i, r in enumerate(batch):
             audio[i] = r.audio
             vid[i] = r.speaker
             if r.guidance is not None:
                 guidance[i] = r.guidance
+            if r.seed_frames is not None:
+                pre = r.seed_frames.shape[-1]
+                origin[i, :, :, :pre] = r.seed_frames
         # Padding rows replicate row 0 (fixed shapes; results discarded).
         if n < bsz:
             audio[n:] = audio[0]
@@ -303,7 +338,7 @@ class GestureBatcher:
         cond = {
             "audio": jnp.asarray(audio),
             "vid": jnp.asarray(vid),
-            "origin_x": jnp.zeros((bsz,) + self._shape, jnp.float32),
+            "origin_x": jnp.asarray(origin),
         }
         sub = self.next_key()
 

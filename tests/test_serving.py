@@ -225,6 +225,37 @@ def test_long_form_admission_and_device_serialisation():
         batcher.close()
 
 
+def test_concurrent_long_chains_share_batches():
+    """Long-form windows ride the ordinary batch queue: two concurrent
+    chains coalesce into shared executables (occupancy > 1) and both
+    reproduce the exact-audio-coverage contract."""
+    batcher, cfg = _tiny_server(max_batch=4, max_wait_ms=40.0)
+    batcher.cfg.max_long_concurrent = 2
+    try:
+        audio = np.zeros(int(80 / 15 * 16000), np.float32)
+        results = {}
+
+        def run(tag, speaker):
+            results[tag] = batcher.long_form(audio, speaker=speaker)
+
+        threads = [
+            threading.Thread(target=run, args=(t, s))
+            for t, s in (("a", 1), ("b", 2))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        total = int(len(audio) * 15 / 16000)
+        assert results["a"].shape[-1] == total
+        assert results["b"].shape[-1] == total
+        stats = batcher.stats()
+        # chains are sequential with themselves but batch with each other
+        assert stats["mean_batch_occupancy"] > 1.0, stats
+    finally:
+        batcher.close()
+
+
 def test_http_server_roundtrip():
     spec = importlib.util.spec_from_file_location(
         "serve_cli", os.path.join(ROOT, "scripts", "serve.py")
