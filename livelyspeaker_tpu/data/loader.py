@@ -45,6 +45,7 @@ class DeviceDataLoader:
         drop_last: bool = True,
         seed: int = 233,
         fields: Optional[Sequence[str]] = None,
+        sharding=None,
     ):
         import jax.numpy as jnp
 
@@ -61,15 +62,35 @@ class DeviceDataLoader:
         )
         # training fields only — keep integer storage (PCM16 audio decodes
         # on device in WavEncoder), drop non-array tracks
-        self._dev = {
-            k: jax.device_put(v)
+        keep = {
+            k: v
             for k, v in host.items()
             if isinstance(v, np.ndarray) and v.dtype != object
         }
+        if sharding is not None:
+            # Multi-chip: the resident copy is replicated across the mesh
+            # (it must fit one chip's HBM anyway) and the gathered batch is
+            # laid out against the given sharding (e.g. DP over 'data'), so
+            # the train step sees the same placement the streaming loader's
+            # device_put would produce — GSPMD then slices locally, no
+            # host round-trip.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(sharding.mesh, PartitionSpec())
+            self._dev = {k: jax.device_put(v, repl) for k, v in keep.items()}
+            self._idx_sharding = repl
+            out_shardings = {k: sharding for k in self._dev}
+        else:
+            self._dev = {k: jax.device_put(v) for k, v in keep.items()}
+            self._idx_sharding = None
+            out_shardings = None
         self._n = n
         # one dispatch per step: a jitted multi-field gather
         self._gather = jax.jit(
-            lambda dev, idx: {k: jnp.take(v, idx, axis=0) for k, v in dev.items()}
+            lambda dev, idx: {
+                k: jnp.take(v, idx, axis=0) for k, v in dev.items()
+            },
+            out_shardings=out_shardings,
         )
 
     def set_epoch(self, epoch: int) -> None:
@@ -91,7 +112,10 @@ class DeviceDataLoader:
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield self._gather(self._dev, jnp.asarray(chunk, jnp.int32))
+            ci = jnp.asarray(chunk, jnp.int32)
+            if self._idx_sharding is not None:
+                ci = jax.device_put(ci, self._idx_sharding)
+            yield self._gather(self._dev, ci)
 
 
 class DataLoader:

@@ -79,6 +79,7 @@ def main():
             shuffle=True,
             seed=args.seed,
             fields=train_fields,
+            sharding=batch_sharding(mesh),
         )
     else:
         loader = DataLoader(

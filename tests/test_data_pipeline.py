@@ -207,6 +207,37 @@ def test_device_resident_loader_matches_streaming(synthetic_records):
                 )
 
 
+def test_device_resident_loader_sharded_batches(synthetic_records):
+    """With a mesh sharding, gathered batches come out DP-sharded over
+    'data' (replicated residents, local slices, no host round-trip) and
+    still equal the streaming loader's rows."""
+    import jax
+
+    from livelyspeaker_tpu.data import DeviceDataLoader
+    from livelyspeaker_tpu.parallel import batch_sharding, create_mesh
+
+    root, n, _ = synthetic_records
+    ds = TedWindowDataset(root)
+    mesh = create_mesh()  # 8 virtual CPU devices
+    bs = batch_sharding(mesh)
+    fields = ("motion", "audio", "vid")
+    resident = DeviceDataLoader(ds, batch_size=8, shuffle=True,
+                                drop_last=True, seed=3, fields=fields,
+                                sharding=bs)
+    stream = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        seed=3, fields=fields)
+    resident.set_epoch(0)
+    stream.set_epoch(0)
+    br = next(iter(resident))
+    bss = next(iter(stream))
+    assert br["motion"].sharding.is_equivalent_to(bs, br["motion"].ndim)
+    for k in fields:
+        np.testing.assert_array_equal(np.asarray(br[k]), np.asarray(bss[k]))
+    # the train step can consume it directly on the mesh
+    total = jax.jit(lambda m: m.sum())(br["motion"])
+    assert np.isfinite(float(total))
+
+
 def test_loader_multihost_split(synthetic_records):
     root, n, _ = synthetic_records
     ds = TedWindowDataset(root)
