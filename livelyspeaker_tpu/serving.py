@@ -72,6 +72,7 @@ class GestureRequest:
     speaker: int = 0
     guidance: Optional[float] = None
     text: Optional[str] = None  # routes through the SAG composition if set
+    emotion: int = 0  # BEAT models (num_emotions > 0); ignored for TED
     # [njoints, nfeats, n_pre_seq] seed frames for window-chained long-form
     # generation (the reference's seed mechanism, RAG.py:80-96)
     seed_frames: Optional[np.ndarray] = None
@@ -140,6 +141,7 @@ class GestureBatcher:
         speaker: int = 0,
         guidance: Optional[float] = None,
         text: Optional[str] = None,
+        emotion: int = 0,
         seed_frames: Optional[np.ndarray] = None,
         block: bool = False,
     ) -> GestureRequest:
@@ -153,7 +155,7 @@ class GestureBatcher:
         a[: src.shape[0]] = src
         req = GestureRequest(
             audio=a, speaker=speaker, guidance=guidance, text=text,
-            seed_frames=seed_frames,
+            emotion=emotion, seed_frames=seed_frames,
         )
         req._t_submit = time.monotonic()
         if block:
@@ -214,6 +216,7 @@ class GestureBatcher:
         *,
         speaker: int = 0,
         guidance: Optional[float] = None,
+        emotion: int = 0,
         sentences: Optional[Sequence[str]] = None,
         fps: int = 15,
         sr: int = 16000,
@@ -258,6 +261,7 @@ class GestureBatcher:
                     speaker=speaker,
                     guidance=guidance,
                     text=text,
+                    emotion=emotion,
                     seed_frames=seed,
                     block=True,
                 )
@@ -340,6 +344,13 @@ class GestureBatcher:
             "vid": jnp.asarray(vid),
             "origin_x": jnp.asarray(origin),
         }
+        if self.sampler.model.cfg.num_emotions:  # BEAT conditioning
+            emo = np.zeros((bsz,), np.int64)
+            for i, r in enumerate(batch):
+                emo[i] = r.emotion
+            if n < bsz:
+                emo[n:] = emo[0]
+            cond["emo"] = jnp.asarray(emo)
         sub = self.next_key()
 
         texts = [r.text for r in batch]

@@ -7,7 +7,9 @@ one compiled executable, per-sample guidance).
 
     POST /v1/generate   {"audio": [f32...] | "audio_b64": base64 f32le,
                          "speaker": 0, "guidance": 1.5, "text": "...",
-                         "long": false}
+                         "emotion": 0, "long": false}
+        "emotion" conditions BEAT-family models (num_emotions > 0 in the
+        checkpoint's args.json); ignored for TED models.
         -> {"motion": [[...]...], "shape": [J, F, T], "batch_size": n,
             "latency_ms": ...}
         "long": true stitches the FULL audio into one continuous stream via
@@ -89,12 +91,13 @@ def make_handler(batcher):
                     # Chunked streaming: one JSON line per completed window
                     # ({"window": i, "motion": [...], "frames": K}), so the
                     # client can animate while later windows still sample.
-                    # The batcher's long_form_stream admission-controls
-                    # (max_long_concurrent -> 503) and serialises each
-                    # window on the device lock with the batch worker.
+                    # Windows ride the ordinary batch queue (concurrent
+                    # chains coalesce); admission-controlled
+                    # (max_long_concurrent -> 503).
                     gen = batcher.long_form_stream(
                         audio,
                         speaker=int(req.get("speaker", 0)),
+                        emotion=int(req.get("emotion", 0)),
                         guidance=(
                             float(req["guidance"]) if "guidance" in req
                             else None
@@ -131,13 +134,14 @@ def make_handler(batcher):
                     self.wfile.write(b"0\r\n\r\n")
                     return
                 if req.get("long"):
-                    # Arbitrary-length audio -> one stitched stream; the
-                    # window chain is sequential so it can't share a batch,
-                    # but every window serialises on the batcher's device
-                    # lock and admission is capped (max_long_concurrent).
+                    # Arbitrary-length audio -> one stitched stream. A
+                    # chain is sequential with itself but its windows batch
+                    # with all other traffic; admission is capped
+                    # (max_long_concurrent).
                     motion = batcher.long_form(
                         audio,
                         speaker=int(req.get("speaker", 0)),
+                        emotion=int(req.get("emotion", 0)),
                         guidance=(
                             float(req["guidance"]) if "guidance" in req
                             else None
@@ -148,6 +152,7 @@ def make_handler(batcher):
                     r = batcher.submit(
                         audio,
                         speaker=int(req.get("speaker", 0)),
+                        emotion=int(req.get("emotion", 0)),
                         guidance=(
                             float(req["guidance"])
                             if "guidance" in req

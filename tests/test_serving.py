@@ -225,6 +225,47 @@ def test_long_form_admission_and_device_serialisation():
         batcher.close()
 
 
+def test_beat_model_serving_with_emotion():
+    """BEAT-family deployments: the batcher threads the per-request emotion
+    id into the conditioning (num_emotions > 0), including long-form."""
+    from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
+
+    cfg = RAGConfig.beat(njoints=5, latent_dim=32, num_layers=1,
+                         n_speakers=4)
+    model = RAG(cfg)
+    rng = np.random.default_rng(0)
+    nf = cfg.nframes
+    cond = {
+        "audio": np.zeros((2, audio_samples_for_frames(nf)), np.float32),
+        "vid": np.zeros((2,), np.int64),
+        "emo": np.zeros((2,), np.int64),
+        "origin_x": np.zeros((2, cfg.njoints, cfg.nfeats, nf), np.float32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        rng.normal(size=(2, cfg.njoints, cfg.nfeats, nf)).astype(np.float32),
+        rng.integers(0, 50, size=(2,)),
+        {k: np.asarray(v) for k, v in cond.items()},
+    )["params"]
+    srv = build_rag_server(model, params, ServeConfig(
+        max_batch=2, max_wait_ms=5.0, steps=50, timestep_respacing="ddim4",
+        sampler="ddim", use_fused=False,
+    ))
+    try:
+        # a BEAT RAG forward requires cond["emo"]: the pre-fix server (TED
+        # cond only) crashes here with a KeyError inside the worker
+        out = srv.generate(np.zeros(srv.n_samples, np.float32),
+                           speaker=1, emotion=3, timeout=300.0)
+        assert out.shape == (cfg.njoints, cfg.nfeats, nf)
+        assert np.isfinite(out).all()
+        long_audio = np.zeros(int(70 / 15 * 16000), np.float32)
+        long_out = srv.long_form(long_audio, emotion=2)
+        assert long_out.shape[-1] == int(len(long_audio) * 15 / 16000)
+        assert np.isfinite(long_out).all()
+    finally:
+        srv.close()
+
+
 def test_concurrent_long_chains_share_batches():
     """Long-form windows ride the ordinary batch queue: two concurrent
     chains coalesce into shared executables (occupancy > 1) and both
