@@ -105,6 +105,91 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
     }
 
 
+def bench_loaders(batch: int, steps: int, latent: int, layers: int) -> list:
+    """END-TO-END training throughput including the data path, for both
+    loaders (streaming DataLoader vs HBM-resident DeviceDataLoader) on the
+    synthetic record set — the measurement that exposed the 163x
+    transfer-bound gap on remote-dispatch hosts (docs/DESIGN.md §13)."""
+    import tempfile
+
+    from livelyspeaker_tpu.data import (
+        DataLoader,
+        DeviceDataLoader,
+        TedWindowDataset,
+    )
+    from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records
+    from livelyspeaker_tpu.data.ted import TedConfig
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule
+    from livelyspeaker_tpu.models import RAG, RAGConfig
+    from livelyspeaker_tpu.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    data_dir = os.path.join(tempfile.gettempdir(), "ls_tpu_synth_bench")
+    if not os.path.exists(os.path.join(data_dir, "meta.json")):
+        build_synthetic_ted_records(
+            data_dir, n_clips=40, clip_seconds=20,
+            cfg=TedConfig(audio_dtype="int16"),
+        )
+    dataset = TedWindowDataset(data_dir)
+    fields = ("motion", "audio", "vid")
+    batch = min(batch, len(dataset) // 2)
+
+    cfg = RAGConfig.ted(latent_dim=latent, num_layers=layers)
+    model = RAG(cfg)
+    b0 = dataset.batch(range(batch), fields=fields)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        jnp.asarray(b0["motion"]),
+        jnp.zeros((batch,), jnp.int32),
+        {"audio": jnp.asarray(b0["audio"]), "vid": jnp.asarray(b0["vid"]),
+         "origin_x": jnp.asarray(b0["motion"])},
+    )["params"]
+    sched = DiffusionSchedule.create(steps=1000, schedule="cosine")
+    tcfg = TrainConfig(lr=1e-4)
+    tx = make_optimizer(tcfg)
+    step_fn = jax.jit(make_train_step(model, sched, tx, tcfg))
+
+    rows = []
+    for name, loader in (
+        ("streaming", DataLoader(dataset, batch_size=batch, shuffle=True,
+                                 seed=7, fields=fields)),
+        ("device_resident", DeviceDataLoader(dataset, batch_size=batch,
+                                             shuffle=True, seed=7,
+                                             fields=fields)),
+    ):
+        state = init_train_state(params, tx, cfg=tcfg, num_timesteps=1000)
+        key = jax.random.PRNGKey(1)
+        done = 0
+        # warm (compile) one step
+        for b in loader:
+            state, metrics = step_fn(state, b, key)
+            jax.block_until_ready(metrics)
+            break
+        t0 = time.time()
+        while done < steps:
+            for b in loader:
+                if done >= steps:
+                    break
+                key = jax.random.fold_in(key, done)
+                state, metrics = step_fn(state, b, key)
+                done += 1
+        jax.block_until_ready(metrics)
+        dt = (time.time() - t0) / steps
+        rows.append({
+            "metric": "ted_rag_train_e2e_step_ms",
+            "loader": name,
+            "value": round(dt * 1e3, 2),
+            "unit": "ms",
+            "batch": batch,
+            "clips_per_sec": round(batch / dt, 1),
+        })
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=512)
@@ -114,12 +199,19 @@ def main():
     p.add_argument(
         "--dtypes", type=str, nargs="+", default=["float32", "bfloat16"]
     )
+    p.add_argument("--loaders", action="store_true",
+                   help="also measure end-to-end steps/s with the "
+                        "streaming vs device-resident loaders")
     args = p.parse_args()
 
     print("devices:", jax.devices(), file=sys.stderr)
     for dt in args.dtypes:
         r = bench_dtype(dt, args.batch, args.steps, args.latent_dim, args.layers)
         print(json.dumps(r))
+    if args.loaders:
+        for r in bench_loaders(args.batch, args.steps, args.latent_dim,
+                               args.layers):
+            print(json.dumps(r))
 
 
 if __name__ == "__main__":
