@@ -9,6 +9,7 @@ from .mesh import (
     replicated,
     shard_params,
 )
+from .sampling import shard_sample_fn
 from .pipeline import (
     STAGE_AXIS,
     create_pipeline_mesh,

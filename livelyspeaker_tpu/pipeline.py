@@ -33,6 +33,13 @@ class RAGSampler:
     combination; guidance scale, conditioning tensors, init_image and the RNG
     key are traced arguments, so a guidance sweep (test_RAG_ted.py:183-193)
     reuses one executable.
+
+    ``mesh`` scales the same executable across chips (the reference is
+    single-GPU-only, test_RAG_ted.py:60-70): batch args shard over the
+    mesh's 'data' axis, params follow the TP rules.  With the XLA denoiser
+    the sharded program is numerically identical to the single-device one;
+    the fused Pallas denoiser runs per-device under shard_map with a
+    fold_in(key, shard)-derived key stream (see parallel/sampling.py).
     """
 
     def __init__(
@@ -45,11 +52,13 @@ class RAGSampler:
         timestep_respacing: Optional[str] = "ddim100",
         method: str = "ddim",
         use_fused: bool = False,
+        mesh=None,
     ):
         self.model = model
         self.params = params
         self.method = method
         self.use_fused = use_fused
+        self.mesh = mesh
         self.sched = DiffusionSchedule.create(
             steps=steps, schedule=schedule, timestep_respacing=timestep_respacing
         )
@@ -86,6 +95,18 @@ class RAGSampler:
                 inpainting=inpainting,
             )
 
+        if self.mesh is not None:
+            from .parallel.sampling import shard_sample_fn
+
+            # args after params: (cond, guidance, rng, init, mask, motion)
+            return shard_sample_fn(
+                fn,
+                self.mesh,
+                self.params,
+                batched=(True, True, False, True, True, True),
+                use_shard_map=self.use_fused,
+                rng_arg=2,
+            )
         return jax.jit(fn)
 
     def __call__(
@@ -100,6 +121,17 @@ class RAGSampler:
     ) -> jnp.ndarray:
         c = self.model.cfg
         b = cond["vid"].shape[0]
+        guidance = jnp.asarray(guidance, jnp.float32)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            if b % n_data:
+                raise ValueError(
+                    f"batch {b} must divide the mesh data axis ({n_data}); "
+                    "pad the batch (the serving batcher already pads to "
+                    "max_batch)"
+                )
+            if guidance.ndim == 0:  # per-sample so it shards with the batch
+                guidance = jnp.full((b,), guidance)
         with_init = init_image is not None or skip_timesteps > 0
         with_inpaint = inpainting is not None
         key = (b, skip_timesteps, with_init, with_inpaint,
@@ -113,7 +145,7 @@ class RAGSampler:
         return self._jitted[key](
             self.params,
             cond,
-            jnp.asarray(guidance, jnp.float32),
+            guidance,
             rng,
             init_image if init_image is not None else zeros,
             inpainting.mask if with_inpaint else jnp.zeros_like(zeros, bool),

@@ -60,6 +60,10 @@ class ServeConfig:
     # thread; cap how many may be in flight (each window still serialises
     # on the device lock with the batch worker).
     max_long_concurrent: int = 2
+    # Shard each served batch over the first `data_parallel` local devices
+    # (parallel/sampling.py). max_batch must be a multiple; the batcher
+    # already pads every batch to exactly max_batch rows.
+    data_parallel: int = 1
 
 
 class ServerOverloaded(RuntimeError):
@@ -389,6 +393,15 @@ def build_rag_server(
 ) -> GestureBatcher:
     """Wire a RAG model + params into a ready-to-serve batcher."""
     cfg = cfg or ServeConfig()
+    mesh = None
+    if cfg.data_parallel > 1:
+        from .parallel import create_mesh
+
+        assert cfg.max_batch % cfg.data_parallel == 0, (
+            f"max_batch {cfg.max_batch} must be a multiple of "
+            f"data_parallel {cfg.data_parallel}"
+        )
+        mesh = create_mesh(n_devices=cfg.data_parallel)
     sampler = RAGSampler(
         model,
         params,
@@ -396,5 +409,6 @@ def build_rag_server(
         timestep_respacing=cfg.timestep_respacing,
         method=cfg.sampler,
         use_fused=cfg.use_fused,
+        mesh=mesh,
     )
     return GestureBatcher(sampler, cfg, composition=composition)

@@ -95,6 +95,9 @@ def add_sampling_options(p: argparse.ArgumentParser):
     g.add_argument("--eval_model_path", type=str, default="")
     g.add_argument("--fused", action="store_true",
                    help="sample through the fused Pallas backbone kernel")
+    g.add_argument("--data_parallel", type=int, default=1,
+                   help="shard eval batches over this many local devices "
+                        "(batch_size must be a multiple)")
     g.add_argument("--sampler", type=str, default="",
                    choices=["", "ddpm", "ddim", "plms", "dpmpp"],
                    help="override the sampler (default: ddim when respaced, "

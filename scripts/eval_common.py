@@ -25,7 +25,29 @@ from livelyspeaker_tpu.models.sag import SAG
 from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
 from livelyspeaker_tpu.training.checkpoints import load_params_npz
 
-__all__ = ["load_sag_params", "load_clip", "load_tokenizer", "build_pipeline"]
+__all__ = [
+    "load_sag_params",
+    "load_clip",
+    "load_tokenizer",
+    "build_pipeline",
+    "mesh_from_args",
+]
+
+
+def mesh_from_args(args):
+    """('data',)-mesh over the first ``--data_parallel`` local devices, or
+    None for the ordinary single-device path (parallel/sampling.py)."""
+    dp = getattr(args, "data_parallel", 1)
+    if dp <= 1:
+        return None
+    from livelyspeaker_tpu.parallel import create_mesh
+
+    if getattr(args, "batch_size", None) and args.batch_size % dp:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be a multiple of "
+            f"--data_parallel {dp}"
+        )
+    return create_mesh(n_devices=dp)
 
 
 def load_sag_params(path):

@@ -30,6 +30,7 @@ from livelyspeaker_tpu.models.embedding_net import (
 )
 from livelyspeaker_tpu.pipeline import RAGSampler
 from livelyspeaker_tpu.utils.config import generate_args
+from eval_common import mesh_from_args
 from eval_rag_ted import load_rag_params
 
 
@@ -67,6 +68,7 @@ def main():
             "ddim" if args.timestep_respacing.startswith("ddim") else "ddpm"
         ),
         use_fused=args.fused,
+        mesh=mesh_from_args(args),
     )
 
     embed = None

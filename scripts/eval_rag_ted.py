@@ -31,6 +31,7 @@ from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator, ted_beat_align_batch
 from livelyspeaker_tpu.models import RAG, RAGConfig
 from livelyspeaker_tpu.pipeline import RAGSampler
 from livelyspeaker_tpu.training.checkpoints import load_params_npz
+from eval_common import mesh_from_args
 from livelyspeaker_tpu.utils.config import generate_args
 
 
@@ -89,6 +90,7 @@ def main():
             "ddim" if args.timestep_respacing.startswith("ddim") else "ddpm"
         ),
         use_fused=args.fused,
+        mesh=mesh_from_args(args),
     )
 
     evaluator = None

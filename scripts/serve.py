@@ -201,6 +201,9 @@ def main():
     p.add_argument("--clip_path", type=str, default="")
     p.add_argument("--bpe_path", type=str, default="")
     p.add_argument("--skip_steps", type=int, default=80)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard each served batch over this many local "
+                        "devices (max_batch must be a multiple)")
     args = p.parse_args()
 
     from livelyspeaker_tpu.models import RAG, RAGConfig
@@ -282,6 +285,7 @@ def main():
             timestep_respacing=args.timestep_respacing or None,
             sampler=args.sampler,
             use_fused=not args.no_fused,
+            data_parallel=args.data_parallel,
         ),
     )
     # Warm the executable before accepting traffic. First compile of the

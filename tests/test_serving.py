@@ -16,7 +16,7 @@ from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _tiny_server(max_batch=4, max_wait_ms=100.0):
+def _tiny_server(max_batch=4, max_wait_ms=100.0, data_parallel=1):
     cfg = RAGConfig(latent_dim=64, num_layers=2, n_speakers=4)
     model = RAG(cfg)
     rng = np.random.default_rng(0)
@@ -41,8 +41,28 @@ def _tiny_server(max_batch=4, max_wait_ms=100.0):
         timestep_respacing="ddim5",
         sampler="ddim",
         use_fused=False,  # Pallas fast path is TPU-only; XLA path on CPU
+        data_parallel=data_parallel,
     )
     return build_rag_server(model, params, serve_cfg), cfg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_batcher_serves_over_dp_mesh():
+    """data_parallel=8: the batcher's padded max_batch batch shards over the
+    mesh and requests come back finite and correctly shaped — the serving
+    scale-out path end to end."""
+    batcher, cfg = _tiny_server(max_batch=8, data_parallel=8)
+    try:
+        audio = np.random.default_rng(2).normal(size=16000).astype(np.float32)
+        reqs = [batcher.submit(audio, speaker=i % 4) for i in range(3)]
+        outs = [r.wait(timeout=600) for r in reqs]
+        for o in outs:
+            assert o.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
+            assert np.isfinite(o).all()
+        assert batcher.sampler.mesh is not None
+        assert dict(batcher.sampler.mesh.shape) == {"data": 8, "model": 1}
+    finally:
+        batcher.close()
 
 
 def test_batcher_coalesces_and_pads():
