@@ -54,6 +54,7 @@ class DeviceDataLoader:
         self.drop_last = drop_last
         self._seed = seed
         self.epoch = 0
+        self._start_batch = 0
         n = len(dataset)
         host = (
             dataset.batch(np.arange(n), fields=list(fields))
@@ -93,8 +94,12 @@ class DeviceDataLoader:
             out_shardings=out_shardings,
         )
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """``start_batch`` makes the NEXT iteration begin mid-epoch at that
+        batch index (mid-epoch resume) without materialising the skipped
+        batches; it is consumed by one ``__iter__`` and resets to 0."""
         self.epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -108,7 +113,9 @@ class DeviceDataLoader:
         if self.shuffle:
             np.random.default_rng([self._seed, self.epoch]).shuffle(idx)
         self.epoch += 1
-        for s in range(0, self._n, self.batch_size):
+        first = self._start_batch * self.batch_size
+        self._start_batch = 0
+        for s in range(first, self._n, self.batch_size):
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
@@ -152,9 +159,14 @@ class DataLoader:
         # uninterrupted one (TrainLoop.set_epoch); without set_epoch the
         # counter self-increments per epoch, preserving distinct shuffles.
         self.epoch = 0
+        self._start_batch = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """``start_batch`` makes the NEXT iteration begin mid-epoch at that
+        batch index (mid-epoch resume) without assembling or transferring
+        the skipped batches; consumed by one ``__iter__``, then resets."""
         self.epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -174,7 +186,9 @@ class DataLoader:
 
     def _make_batches(self) -> Iterator[Dict]:
         idx = self._epoch_indices()
-        for s in range(0, len(idx), self.batch_size):
+        first = self._start_batch * self.batch_size
+        self._start_batch = 0
+        for s in range(first, len(idx), self.batch_size):
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return

@@ -28,10 +28,34 @@ __all__ = [
     "param_spec",
     "shard_params",
     "replicated",
+    "shard_map",
 ]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+try:  # jax >= 0.4.35: top-level export, kwarg named check_vma
+    from jax import shard_map as _shard_map
+
+    _REP_KW = "check_vma"
+except ImportError:  # pragma: no cover — older jax: check_rep
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    _REP_KW = "check_rep"
+
+
+def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+    """Version-portable ``shard_map``: the replication-check kwarg was
+    renamed check_rep -> check_vma when shard_map left experimental; this
+    shim forwards to whichever name the installed jax accepts (both
+    disable the check when False)."""
+    return _shard_map(
+        f,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        **{_REP_KW: check_vma},
+    )
 
 
 def create_mesh(

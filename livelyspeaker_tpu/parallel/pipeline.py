@@ -33,12 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.4.35
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
-
 from livelyspeaker_tpu.models.mlp_backbone import get_activation
+
+from .mesh import shard_map
 
 __all__ = [
     "STAGE_AXIS",

@@ -32,17 +32,13 @@ from typing import Callable, Sequence
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.4.35
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
-
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
     param_shardings,
     replicated,
+    shard_map,
 )
 
 __all__ = ["shard_sample_fn"]

@@ -34,18 +34,24 @@ __all__ = [
 ]
 
 
-def mesh_from_args(args):
+def mesh_from_args(args, batch_size=None):
     """('data',)-mesh over the first ``--data_parallel`` local devices, or
-    None for the ordinary single-device path (parallel/sampling.py)."""
+    None for the ordinary single-device path (parallel/sampling.py).
+
+    Pass ``batch_size`` when the script clamps the loader batch below
+    ``args.batch_size`` (e.g. ``min(batch, len(dataset))``) so the guard
+    validates the batch the sampler will actually see."""
     dp = getattr(args, "data_parallel", 1)
     if dp <= 1:
         return None
     from livelyspeaker_tpu.parallel import create_mesh
 
-    if getattr(args, "batch_size", None) and args.batch_size % dp:
+    eff = batch_size if batch_size is not None else getattr(
+        args, "batch_size", None
+    )
+    if eff and eff % dp:
         raise SystemExit(
-            f"--batch_size {args.batch_size} must be a multiple of "
-            f"--data_parallel {dp}"
+            f"batch size {eff} must be a multiple of --data_parallel {dp}"
         )
     return create_mesh(n_devices=dp)
 

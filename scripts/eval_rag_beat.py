@@ -39,9 +39,10 @@ def main():
     np.random.seed(233)
 
     dataset = BeatWindowDataset(args.data_dir)
+    batch_size = min(args.batch_size, max(len(dataset), 1))
     loader = DataLoader(
         dataset,
-        batch_size=min(args.batch_size, max(len(dataset), 1)),
+        batch_size=batch_size,
         shuffle=True,
         drop_last=True,
         seed=233,
@@ -68,7 +69,7 @@ def main():
             "ddim" if args.timestep_respacing.startswith("ddim") else "ddpm"
         ),
         use_fused=args.fused,
-        mesh=mesh_from_args(args),
+        mesh=mesh_from_args(args, batch_size=batch_size),
     )
 
     embed = None

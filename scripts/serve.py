@@ -123,14 +123,27 @@ def make_handler(batcher):
 
                     import itertools
 
-                    for w, chunk in itertools.chain(
-                        [first] if first is not None else [], gen
-                    ):
-                        write_chunk({
-                            "window": w,
-                            "frames": int(chunk.shape[-1]),
-                            "motion": chunk.tolist(),
-                        })
+                    # The 200 + chunked headers are committed: any error
+                    # from here on must be reported IN the stream (an
+                    # "error" line + the terminating 0-chunk), never via a
+                    # second HTTP response into the open body — that would
+                    # desync the client's chunked decoder.
+                    try:
+                        for w, chunk in itertools.chain(
+                            [first] if first is not None else [], gen
+                        ):
+                            write_chunk({
+                                "window": w,
+                                "frames": int(chunk.shape[-1]),
+                                "motion": chunk.tolist(),
+                            })
+                    except Exception as e:  # noqa: BLE001
+                        try:
+                            write_chunk(
+                                {"error": f"{type(e).__name__}: {e}"}
+                            )
+                        except OSError:
+                            return  # client went away mid-stream
                     self.wfile.write(b"0\r\n\r\n")
                     return
                 if req.get("long"):

@@ -12,6 +12,7 @@ docs/DESIGN.md ("librosa replacement: defaults table").
 """
 
 import numpy as np
+import pytest
 
 from livelyspeaker_tpu.eval.audio import (
     mel_filterbank,
@@ -135,3 +136,52 @@ def test_onset_strength_center_compensation():
     peak_frame = int(np.argmax(env))
     # centered frames smear the click across +-n_fft/2 samples (2 frames)
     assert abs(peak_frame - j // 512) <= 3
+
+
+def test_peak_pick_boundary_semantics_match_librosa_092():
+    """Randomized equivalence vs a line-faithful scipy replication of
+    librosa 0.9.2 ``util.peak_pick`` — including its explicit boundary
+    loops, which overwrite ``uniform_filter1d(mode='nearest')``'s
+    edge-replicated means with TRUNCATED-window means.  Pins that our
+    truncated-window implementation matches at array edges too (the
+    'nearest'-vs-truncated question raised in review is settled: librosa's
+    final semantics are truncated)."""
+    ndi = pytest.importorskip("scipy.ndimage")
+
+    def librosa_092(x, pre_max, post_max, pre_avg, post_avg, delta, wait):
+        x = np.asarray(x, np.float64)
+        mov_max = ndi.maximum_filter1d(
+            x, pre_max + post_max, mode="constant",
+            origin=int(np.ceil(0.5 * (pre_max - post_max))), cval=x.min(),
+        )
+        mov_avg = ndi.uniform_filter1d(
+            x, pre_avg + post_avg, mode="nearest",
+            origin=int(np.ceil(0.5 * (pre_avg - post_avg))),
+        )
+        n = 0  # librosa's boundary corrections: truncated means
+        while n - pre_avg < 0 and n < x.shape[0]:
+            mov_avg[n] = np.mean(x[max(n - pre_avg, 0): n + post_avg])
+            n += 1
+        n = max(x.shape[0] - post_avg, 0)
+        while n < x.shape[0]:
+            mov_avg[n] = np.mean(x[max(n - pre_avg, 0): n + post_avg])
+            n += 1
+        det = x * (x == mov_max) * (x >= mov_avg + delta)
+        peaks, last = [], -np.inf
+        for i in np.nonzero(det)[0]:
+            if i > last + wait:
+                peaks.append(i)
+                last = i
+        return np.asarray(peaks, np.int64)
+
+    rng = np.random.default_rng(0)
+    for trial in range(300):
+        x = np.abs(rng.normal(size=int(rng.integers(3, 120))))
+        x /= x.max()
+        # the two parameter sets the metrics use (sr=16000 / sr=22050)
+        # plus a wider stress set
+        for p in [(0, 1, 3, 4, 0.07, 0), (1, 1, 4, 5, 0.07, 1),
+                  (3, 4, 10, 11, 0.07, 3)]:
+            want = librosa_092(x, *p)
+            got = peak_pick(x, *p)
+            assert np.array_equal(want, got), (trial, p, want, got)
