@@ -154,7 +154,13 @@ class RAGSampler:
 
 
 class LivelySpeakerPipeline:
-    """text + audio + speaker -> gesture clip (SAG sketch, RAG refinement)."""
+    """text + audio + speaker -> gesture clip (SAG sketch, RAG refinement).
+
+    ``mesh`` scales the whole two-stage composition across chips: the CLIP
+    text encode, the SAG decode and the RAG refinement chain all shard their
+    batch axis over the mesh's 'data' axis (GSPMD, numerically identical to
+    the single-device program — see parallel/sampling.py).
+    """
 
     def __init__(
         self,
@@ -170,6 +176,7 @@ class LivelySpeakerPipeline:
         timestep_respacing: str = "ddim100",
         skip_timesteps: int = 80,  # test_LivelySpeaker_ted.py:212
         method: str = "ddim",
+        mesh=None,
     ):
         self.rag_sampler = RAGSampler(
             rag,
@@ -177,6 +184,7 @@ class LivelySpeakerPipeline:
             steps=steps,
             timestep_respacing=timestep_respacing,
             method=method,
+            mesh=mesh,
         )
         self.sag = sag
         self.sag_params = sag_params
@@ -184,15 +192,24 @@ class LivelySpeakerPipeline:
         self.clip_params = clip_params
         self.tokenizer = tokenizer
         self.skip_timesteps = skip_timesteps
+        self.mesh = mesh
+        jit_kw = {}
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding
+
+            dp = batch_sharding(mesh)
+            jit_kw = {"in_shardings": dp, "out_shardings": dp}
         self._encode_text = jax.jit(
             lambda tokens: self.clip_text.apply(
                 {"params": self.clip_params}, tokens
-            )
+            ),
+            **jit_kw,
         )
         self._sag_decode = jax.jit(
             lambda z, x: self.sag.apply(
                 {"params": self.sag_params}, z, x, method=self.sag.decode
-            )
+            ),
+            **jit_kw,
         )
 
     def semantic_sketch(

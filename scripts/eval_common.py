@@ -96,10 +96,11 @@ def load_tokenizer(args):
             else HashTokenizer())
 
 
-def build_pipeline(args, rag, rag_params, njoints, nfeats):
+def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
     """Full two-stage composition: SAG semantic sketch -> q_sample to
     T - skip -> RAG refinement under CFG (test_LivelySpeaker_ted.py:85-113,
-    test_LivelySpeaker_beat.py:101-130)."""
+    test_LivelySpeaker_beat.py:101-130).  ``mesh`` (from
+    :func:`mesh_from_args`) shards every stage's batch over chips."""
     sag = SAG(njoints=njoints, nfeats=nfeats,
               latent_dim=512)  # = CLIP text dim (motionclip.py:89)
     if getattr(args, "sag_path", ""):
@@ -118,4 +119,5 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats):
         timestep_respacing=args.timestep_respacing or "ddim100",
         skip_timesteps=(args.skip_steps
                         or 80),  # test_LivelySpeaker_beat.py:232
+        mesh=mesh,
     )

@@ -36,7 +36,7 @@ from livelyspeaker_tpu.models.embedding_net import (
     pose_embedding_params_from_torch,
 )
 from livelyspeaker_tpu.utils.config import generate_args
-from eval_common import build_pipeline
+from eval_common import build_pipeline, mesh_from_args
 from eval_rag_ted import load_rag_params
 
 
@@ -122,9 +122,10 @@ def main():
     np.random.seed(233)
 
     dataset = BeatWindowDataset(args.data_dir)
+    batch_size = min(args.batch_size, max(len(dataset), 1))
     loader = DataLoader(
         dataset,
-        batch_size=min(args.batch_size, max(len(dataset), 1)),
+        batch_size=batch_size,
         shuffle=True,
         drop_last=True,
         seed=233,
@@ -144,7 +145,8 @@ def main():
     args.nfeats = cfg.nfeats
     params = load_rag_params(args.model_path, args)
 
-    pipe = build_pipeline(args, model, params, cfg.njoints, cfg.nfeats)
+    pipe = build_pipeline(args, model, params, cfg.njoints, cfg.nfeats,
+                          mesh=mesh_from_args(args, batch_size=batch_size))
     embed = load_beat_embedder(args)
     for item in run_sweep(dataset, loader, pipe, embed, cfg.njoints,
                           cfg.nframes):

@@ -25,7 +25,11 @@ from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
 from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator, ted_beat_align_batch
 from livelyspeaker_tpu.models import RAG, RAGConfig
 from livelyspeaker_tpu.utils.config import generate_args
-from eval_common import build_pipeline, load_sag_params  # noqa: F401 (re-export)
+from eval_common import (  # noqa: F401 (re-export)
+    build_pipeline,
+    load_sag_params,
+    mesh_from_args,
+)
 from eval_rag_ted import load_rag_params
 
 
@@ -35,7 +39,8 @@ def main():
     np.random.seed(233)
 
     dataset = TedWindowDataset(args.data_dir)
-    loader = DataLoader(dataset, batch_size=min(args.batch_size, max(len(dataset), 1)),
+    batch_size = min(args.batch_size, max(len(dataset), 1))
+    loader = DataLoader(dataset, batch_size=batch_size,
                         shuffle=True, drop_last=True, seed=233)
 
     cfg = RAGConfig(
@@ -46,7 +51,8 @@ def main():
     )
     rag = RAG(cfg)
     rag_params = load_rag_params(args.model_path, args)
-    pipe = build_pipeline(args, rag, rag_params, args.njoints, args.nfeats)
+    pipe = build_pipeline(args, rag, rag_params, args.njoints, args.nfeats,
+                          mesh=mesh_from_args(args, batch_size=batch_size))
 
     evaluator = None
     if args.eval_model_path and os.path.exists(args.eval_model_path):

@@ -188,3 +188,35 @@ def test_rag_sampler_inpainting(rng_np):
     np.testing.assert_allclose(
         np.asarray(out2[..., :4]), np.asarray(motion[..., :4]), atol=1e-5
     )
+
+
+def test_composition_mesh_matches_single_device(rng_np):
+    """LivelySpeakerPipeline(mesh=...) is a placement decision: every stage
+    (CLIP encode, SAG decode, RAG refinement) runs under GSPMD shardings and
+    the composed output reproduces the single-device program (same key
+    stream; tolerance covers resharding-induced accumulation-order drift,
+    as in test_rag_sampler_mesh_matches_single_device)."""
+    from livelyspeaker_tpu.parallel import create_mesh
+
+    rag, rag_params, sag, sag_params, clip_model, clip_params, cond = (
+        _tiny_models(rng_np)
+    )
+    kw = dict(steps=100, timestep_respacing="ddim10", skip_timesteps=8)
+    sentences = ['A person is talking: "hello there"'] * B
+    key = jax.random.PRNGKey(7)
+
+    ref_pipe = LivelySpeakerPipeline(
+        rag, rag_params, sag, sag_params, clip_model, clip_params,
+        HashTokenizer(), **kw,
+    )
+    ref = ref_pipe(sentences, cond, key, guidance=1.5)
+
+    mesh = create_mesh(n_devices=2)
+    dp_pipe = LivelySpeakerPipeline(
+        rag, rag_params, sag, sag_params, clip_model, clip_params,
+        HashTokenizer(), mesh=mesh, **kw,
+    )
+    out = dp_pipe(sentences, cond, key, guidance=1.5)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
