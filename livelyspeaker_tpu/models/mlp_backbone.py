@@ -80,23 +80,23 @@ class MLPBlock(nn.Module):
     act: str = "silu"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray | None = None,
+        emb: jnp.ndarray | None = None,
+        *,
+        collect_only: bool = False,
+    ) -> jnp.ndarray | dict:
         act = get_activation(self.act)
-        if emb is not None:
-            x = x + emb
-        # --- token mix: 1x1 conv over the sequence axis ------------------
-        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="ln1")
         w = self.param(
             "token_mix_kernel",
             initializers.lecun_normal(),
             (self.seq_len, self.seq_len),
         )
         b = self.param("token_mix_bias", initializers.zeros, (self.seq_len,))
-        h = jnp.einsum("ij,bjd->bid", w, h) + b[None, :, None]
-        x = x + act(h)
-        # --- channel mix: near-identity-init Dense over features ---------
-        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
-        h = nn.Dense(
+        ln2 = nn.LayerNorm(epsilon=1e-5, name="ln2")
+        channel_mix = nn.Dense(
             self.dim,
             kernel_init=initializers.variance_scaling(
                 # xavier_uniform with gain 1e-8 (mlp_module.py:64):
@@ -107,7 +107,32 @@ class MLPBlock(nn.Module):
             ),
             bias_init=initializers.zeros,
             name="channel_mix",
-        )(h)
+        )
+        if collect_only:
+            # Declare the identical param tree (dummy calls create the
+            # submodule params; outputs are dead code) and hand the arrays
+            # to the fused-VJP kernel path in TransMLP.  Same names, same
+            # shapes, same init RNG derivation as a normal call.
+            dummy = jnp.zeros((1, self.dim), jnp.float32)
+            _ = ln1(dummy)
+            _ = ln2(dummy)
+            _ = channel_mix(dummy)
+            return {
+                "ln1": dict(ln1.variables["params"]),
+                "token_mix_kernel": w,
+                "token_mix_bias": b,
+                "ln2": dict(ln2.variables["params"]),
+                "channel_mix": dict(channel_mix.variables["params"]),
+            }
+        if emb is not None:
+            x = x + emb
+        # --- token mix: 1x1 conv over the sequence axis ------------------
+        h = ln1(x)
+        h = jnp.einsum("ij,bjd->bid", w, h) + b[None, :, None]
+        x = x + act(h)
+        # --- channel mix: near-identity-init Dense over features ---------
+        h = ln2(x)
+        h = channel_mix(h)
         x = x + act(h)
         return x
 
@@ -120,12 +145,32 @@ class TransMLP(nn.Module):
     num_layers: int = 8
     dim: int = 512
     act: str = "silu"
+    # Route the whole stack through the fused Pallas kernel with the
+    # hand-written backward (ops/pallas/fused_mlp_train.py) — the training
+    # fast path (XLA's autodiff of this stack is ~2.3x slower, DESIGN.md).
+    # f32, single-device (pallas_call is opaque to GSPMD).
+    fused_vjp: bool = False
+    fused_batch_tile: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         emb = TimestepEmbedder(self.dim, name="embed_timestep")(t)
-        for i in range(self.num_layers):
-            x = MLPBlock(self.seq_len, self.dim, self.act, name=f"block_{i}")(
-                x, emb
-            )
-        return x
+        blocks = [
+            MLPBlock(self.seq_len, self.dim, self.act, name=f"block_{i}")
+            for i in range(self.num_layers)
+        ]
+        if not self.fused_vjp:
+            for blk in blocks:
+                x = blk(x, emb)
+            return x
+        from ..ops.pallas.fused_mlp import pack_transmlp_params
+        from ..ops.pallas.fused_mlp_train import fused_transmlp_train
+
+        block_params = {
+            f"block_{i}": blk(collect_only=True)
+            for i, blk in enumerate(blocks)
+        }
+        packed = pack_transmlp_params(block_params, self.num_layers)
+        return fused_transmlp_train(
+            x, emb[:, 0], packed, self.act, self.fused_batch_tile
+        )

@@ -66,6 +66,7 @@ class RAGConfig:
         num_emotions: int = 0,  # 8 for BEAT
         cond_mask_prob: float = 0.1,
         dtype: Any = jnp.float32,
+        fused_train_backbone: bool = False,
     ):
         self.njoints = njoints
         self.nfeats = nfeats
@@ -80,6 +81,9 @@ class RAGConfig:
         self.num_emotions = num_emotions
         self.cond_mask_prob = cond_mask_prob
         self.dtype = dtype
+        # Train-time fast path: mixer stack through the fused Pallas kernel
+        # with hand-written backward (f32, single-device).
+        self.fused_train_backbone = fused_train_backbone
 
     @property
     def input_feats(self) -> int:
@@ -134,6 +138,7 @@ class RAG(nn.Module):
             num_layers=c.num_layers,
             dim=c.latent_dim,
             act=c.mlpact,
+            fused_vjp=c.fused_train_backbone,
             name="backbone",
         )
         self.pose_final = nn.Dense(c.input_feats, name="pose_final")

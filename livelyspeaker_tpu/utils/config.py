@@ -76,6 +76,10 @@ def add_training_options(p: argparse.ArgumentParser):
     g.add_argument("--ema_rate", type=float, default=0.0,
                    help="EMA decay for shadow params; 0 disables "
                         "(diffusion/nn.py:56-66)")
+    g.add_argument("--fused_train", action="store_true",
+                   help="run the mixer backbone through the fused Pallas "
+                        "kernel with its hand-written backward "
+                        "(ops/pallas/fused_mlp_train.py; f32, single-chip)")
     g.add_argument("--device_resident", type=int, default=0,
                    help="1: stage the whole dataset in device HBM once and "
                         "gather batches by index (per-step host traffic "

@@ -32,7 +32,7 @@ import numpy as np
 
 
 def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
-                layers: int) -> dict:
+                layers: int, fused_train: bool = False) -> dict:
     from livelyspeaker_tpu.diffusion import DiffusionSchedule
     from livelyspeaker_tpu.models import (
         RAG,
@@ -46,7 +46,8 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
         make_train_step,
     )
 
-    cfg = RAGConfig.ted(latent_dim=latent, num_layers=layers)
+    cfg = RAGConfig.ted(latent_dim=latent, num_layers=layers,
+                        fused_train_backbone=fused_train)
     model = RAG(cfg)
     rng = np.random.default_rng(0)
     nf = cfg.nframes
@@ -99,6 +100,7 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
         "unit": "ms",
         "batch": batch,
         "compute_dtype": compute_dtype,
+        "fused_train": fused_train,
         "clips_per_sec": round(batch / dt, 1),
         "compile_s": round(compile_s, 1),
         "final_loss": round(loss, 4),
@@ -199,6 +201,9 @@ def main():
     p.add_argument(
         "--dtypes", type=str, nargs="+", default=["float32", "bfloat16"]
     )
+    p.add_argument("--fused_train", action="store_true",
+                   help="mixer backbone through the fused Pallas kernel "
+                        "with hand-written backward")
     p.add_argument("--loaders", action="store_true",
                    help="also measure end-to-end steps/s with the "
                         "streaming vs device-resident loaders")
@@ -206,7 +211,8 @@ def main():
 
     print("devices:", jax.devices(), file=sys.stderr)
     for dt in args.dtypes:
-        r = bench_dtype(dt, args.batch, args.steps, args.latent_dim, args.layers)
+        r = bench_dtype(dt, args.batch, args.steps, args.latent_dim,
+                        args.layers, fused_train=args.fused_train)
         print(json.dumps(r))
     if args.loaders:
         for r in bench_loaders(args.batch, args.steps, args.latent_dim,

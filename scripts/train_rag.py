@@ -61,6 +61,11 @@ def main():
                          if dataset.speaker_model else 0)
 
     mesh = create_mesh()  # all available devices, pure DP by default
+    if getattr(args, "fused_train", False) and mesh.size > 1:
+        raise SystemExit(
+            "--fused_train is single-chip only (pallas_call is opaque to "
+            "GSPMD); run without it on multi-device meshes"
+        )
     # training consumes 3-4 of the 7-8 record fields; skipping the
     # eval-only tracks roughly doubles assembly throughput on 1-core hosts
     train_fields = (
@@ -102,6 +107,7 @@ def main():
         n_speakers=n_speakers,
         num_emotions=args.num_emotions,
         cond_mask_prob=args.cond_mask_prob,
+        fused_train_backbone=bool(getattr(args, "fused_train", False)),
     )
     model = RAG(cfg)
     sched = DiffusionSchedule.create(
