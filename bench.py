@@ -76,14 +76,25 @@ def main():
                 denoise, sched, (BATCH, 9, 3, 34), key, method="ddpm"
             )
 
+        def run_synced(key):
+            # On tunneled TPU backends block_until_ready can return before
+            # the execute drains; a scalar fetch is a true device sync
+            # (measured 2026-08-18: block returned in 3 ms with 15.8 s of
+            # queued work outstanding). Cost: one ~25 ms RTT per call,
+            # <2% of a 1000-step chain.
+            out = generate(key)
+            jax.block_until_ready(out)
+            float(jnp.asarray(out[0, 0, 0, 0]))
+            return out
+
         t0 = time.time()
-        out = jax.block_until_ready(generate(jax.random.PRNGKey(0)))
+        out = run_synced(jax.random.PRNGKey(0))
         compile_s = time.time() - t0
         assert bool(jnp.isfinite(out).all()), "non-finite samples"
         times = []
         for i in range(3):
             t0 = time.time()
-            jax.block_until_ready(generate(jax.random.PRNGKey(i + 1)))
+            run_synced(jax.random.PRNGKey(i + 1))
             times.append(time.time() - t0)
         best = min(times)
         print(

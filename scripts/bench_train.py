@@ -82,6 +82,7 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
     t0 = time.time()
     state, metrics = step_fn(state, batch_dict, key)
     jax.block_until_ready(metrics)
+    float(metrics["loss"])  # true sync (see steady-state note below)
     compile_s = time.time() - t0
 
     # Steady state: pipelined dispatches, one final block (TrainLoop's mode).
@@ -90,8 +91,11 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
         key = jax.random.fold_in(key, i)
         state, metrics = step_fn(state, batch_dict, key)
     jax.block_until_ready(metrics)
-    dt = (time.time() - t0) / steps
+    # Scalar fetch BEFORE the clock stops: on tunneled backends
+    # block_until_ready can return with executes still outstanding; the
+    # fetch depends on the whole dispatch chain, so it is a true sync.
     loss = float(metrics["loss"])
+    dt = (time.time() - t0) / steps
     assert np.isfinite(loss), f"non-finite loss under {compute_dtype}"
 
     return {
@@ -180,6 +184,7 @@ def bench_loaders(batch: int, steps: int, latent: int, layers: int) -> list:
                 state, metrics = step_fn(state, b, key)
                 done += 1
         jax.block_until_ready(metrics)
+        float(metrics["loss"])  # true sync; block alone can return early
         dt = (time.time() - t0) / steps
         rows.append({
             "metric": "ted_rag_train_e2e_step_ms",
