@@ -10,6 +10,7 @@ from .mesh import (
     shard_params,
 )
 from .sampling import shard_sample_fn
+from .training import shard_train_step
 from .pipeline import (
     STAGE_AXIS,
     create_pipeline_mesh,

@@ -46,6 +46,8 @@ class TrainLoop:
         seed: int = 233,
         args_to_save: Optional[Dict] = None,
         resume: bool = False,
+        mesh=None,
+        use_shard_map: bool = False,
     ):
         self.model = model
         self.sched = sched
@@ -67,9 +69,20 @@ class TrainLoop:
         self.state = init_train_state(
             params, tx, cfg=self.cfg, num_timesteps=sched.num_timesteps
         )
-        self.step_fn = jax.jit(
-            make_train_step(model, sched, tx, self.cfg), donate_argnums=0
-        )
+        if use_shard_map:
+            # Explicit-DP step for GSPMD-opaque models (the fused Pallas
+            # backbone): the whole step runs per-device on its batch shard
+            # with pmean'd grads (parallel/training.py).  Lazy import —
+            # parallel imports trainer from this package.
+            from ..parallel.training import shard_train_step
+
+            if mesh is None:
+                raise ValueError("use_shard_map=True requires a mesh")
+            self.step_fn = shard_train_step(model, sched, tx, self.cfg, mesh)
+        else:
+            self.step_fn = jax.jit(
+                make_train_step(model, sched, tx, self.cfg), donate_argnums=0
+            )
         self.ckpt = CheckpointManager(save_dir) if save_dir else None
         self.start_step = 0
         if save_dir and args_to_save is not None:

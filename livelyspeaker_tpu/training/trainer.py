@@ -132,12 +132,22 @@ def make_train_step(
     sched: DiffusionSchedule,
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
+    axis_name: "str | None" = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step.
 
     batch: {'motion': [B,J,F,T], 'audio': [B,L], 'vid': [B],
             'mask'?: [B,T], 'emo'?: [B]}
+
+    ``axis_name`` switches on explicit data-parallel collectives for use
+    inside ``shard_map`` (parallel.shard_train_step): the step then sees
+    only its device-local batch shard, pmeans loss+grads across the axis
+    (so the optimizer update is bitwise-identical on every device, keeping
+    the replicated states in sync), and all_gathers the per-sample
+    (t, loss) arrays so the loss-aware sampler history and the host
+    quartile logger observe the global batch.  Under plain ``jit`` (GSPMD)
+    leave it None — the partitioner inserts these collectives itself.
     """
 
     compute_dtype = jnp.dtype(cfg.compute_dtype)
@@ -212,6 +222,22 @@ def make_train_step(
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, t, weights, rng_loss
         )
+        # Per-sample arrays as the GLOBAL batch sees them (sampler history
+        # + quartile logging); under shard_map that means gathering the
+        # shards (identical result on every device, so the replicated
+        # sampler state stays in sync).
+        t_global = t
+        losses_global = terms["loss_per_sample"]
+        if axis_name is not None:
+            # Equal shard sizes => mean of shard-means == global mean, so
+            # pmean(grads) is exactly the global-batch gradient and every
+            # device's optimizer update is identical.
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            t_global = jax.lax.all_gather(t, axis_name, tiled=True)
+            losses_global = jax.lax.all_gather(
+                terms["loss_per_sample"], axis_name, tiled=True
+            )
         # NaN guard: skip the update on a non-finite step (the functional
         # analogue of the reference's fp16 overflow backoff,
         # fp16_util.py:193-198); with bf16 this should never fire, but a
@@ -239,11 +265,11 @@ def make_train_step(
         # sampling weights (matches the NaN-step skip above).
         new_sampler = state.sampler_state
         if use_loss_aware:
-            losses_ps = terms["loss_per_sample"]
+            losses_ps = losses_global
             safe = jnp.all(jnp.isfinite(losses_ps))
             updated = loss_aware_update(
                 state.sampler_state,
-                t,
+                t_global,
                 jnp.where(safe, losses_ps, jnp.zeros_like(losses_ps)),
             )
             new_sampler = jax.tree.map(
@@ -261,16 +287,19 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
             "param_norm": optax.global_norm(state.params),
-            "t_mean": jnp.mean(t.astype(jnp.float32)),
+            "t_mean": jnp.mean(t_global.astype(jnp.float32)),
             "skipped_nonfinite": 1.0 - grads_finite.astype(jnp.float32),
             # Per-sample breakdown for the quartile logger
             # (train_loop.py:255-261); host side pops these array entries.
-            "t": t,
-            "loss_per_sample": terms["loss_per_sample"],
+            "t": t_global,
+            "loss_per_sample": losses_global,
         }
         for k in ("rot_mse", "vel_mse", "kld"):
             if k in terms:
-                metrics[k] = jnp.mean(terms[k])
+                m = jnp.mean(terms[k])
+                if axis_name is not None:
+                    m = jax.lax.pmean(m, axis_name)
+                metrics[k] = m
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

@@ -79,7 +79,9 @@ def add_training_options(p: argparse.ArgumentParser):
     g.add_argument("--fused_train", action="store_true",
                    help="run the mixer backbone through the fused Pallas "
                         "kernel with its hand-written backward "
-                        "(ops/pallas/fused_mlp_train.py; f32, single-chip)")
+                        "(ops/pallas/fused_mlp_train.py; f32). On multi-"
+                        "device meshes trains via the explicit shard_map "
+                        "DP step (parallel/training.py)")
     g.add_argument("--device_resident", type=int, default=0,
                    help="1: stage the whole dataset in device HBM once and "
                         "gather batches by index (per-step host traffic "

@@ -61,11 +61,12 @@ def main():
                          if dataset.speaker_model else 0)
 
     mesh = create_mesh()  # all available devices, pure DP by default
-    if getattr(args, "fused_train", False) and mesh.size > 1:
-        raise SystemExit(
-            "--fused_train is single-chip only (pallas_call is opaque to "
-            "GSPMD); run without it on multi-device meshes"
-        )
+    # The fused custom-VJP backbone is opaque to GSPMD; on multi-device
+    # meshes it trains through the explicit shard_map DP step instead
+    # (parallel/training.py) — same replicated-state semantics, pmean'd
+    # grads, per-shard RNG streams.
+    use_shard_map_dp = bool(getattr(args, "fused_train", False)
+                            and mesh.size > 1)
     # training consumes 3-4 of the 7-8 record fields; skipping the
     # eval-only tracks roughly doubles assembly throughput on 1-core hosts
     train_fields = (
@@ -157,6 +158,8 @@ def main():
         seed=args.seed,
         args_to_save=vars(args),
         resume=bool(args.resume_checkpoint),
+        mesh=mesh,
+        use_shard_map=use_shard_map_dp,
     )
     loop.run_loop()
     print(f"done at step {loop.step}")

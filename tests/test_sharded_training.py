@@ -1,0 +1,158 @@
+"""shard_map data-parallel training (parallel/training.py): the explicit
+DP twin of the GSPMD path, required by the GSPMD-opaque fused Pallas
+backbone.  Runs on the 8-device virtual CPU mesh (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from livelyspeaker_tpu.diffusion import DiffusionSchedule
+from livelyspeaker_tpu.models import RAG, RAGConfig, audio_samples_for_frames
+from livelyspeaker_tpu.parallel import create_mesh, shard_train_step
+from livelyspeaker_tpu.training import (
+    TrainConfig,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+N_DEV = 8
+B_LOCAL = 2
+
+
+def _setup(rng_np, fused=False, **tc_kw):
+    cfg = RAGConfig.ted(
+        latent_dim=64, num_layers=2, fused_train_backbone=fused
+    )
+    model = RAG(cfg)
+    b = B_LOCAL
+    shard = {
+        "motion": jnp.asarray(
+            rng_np.normal(size=(b, 9, 3, 34)).astype(np.float32) * 0.3
+        ),
+        "audio": jnp.asarray(
+            rng_np.normal(
+                size=(b, audio_samples_for_frames(34))
+            ).astype(np.float32)
+        ),
+        "vid": jnp.asarray(rng_np.integers(0, 1400, size=(b,))),
+    }
+    import contextlib
+
+    # fused init runs the pallas forward: interpret mode on the CPU host
+    ctx = (pltpu.force_tpu_interpret_mode() if fused
+           else contextlib.nullcontext())
+    with ctx:
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1),
+             "cond_mask": jax.random.PRNGKey(2)},
+            shard["motion"],
+            jnp.zeros((b,), jnp.int32),
+            {"audio": shard["audio"], "vid": shard["vid"],
+             "origin_x": shard["motion"]},
+            train=True,
+        )["params"]
+    sched = DiffusionSchedule.create(steps=20)
+    tcfg = TrainConfig(lr=1e-3, **tc_kw)
+    tx = make_optimizer(tcfg)
+    state = init_train_state(
+        params, tx, cfg=tcfg, num_timesteps=sched.num_timesteps
+    )
+    return model, sched, tcfg, tx, state, shard
+
+
+def _tile(shard, n):
+    return {k: jnp.concatenate([v] * n) for k, v in shard.items()}
+
+
+def test_sharded_step_equals_single_device_on_identical_shards(rng_np):
+    """With fold_shard_rng=False and the same shard replicated to every
+    device, each device computes the identical gradient, pmean is a no-op,
+    and the sharded step must reproduce the single-device step on the
+    shard batch exactly (same RNG path: the local step sees the raw key)."""
+    model, sched, tcfg, tx, state, shard = _setup(rng_np)
+    mesh = create_mesh()
+    assert mesh.size == N_DEV
+
+    sstep = shard_train_step(
+        model, sched, tx, tcfg, mesh, fold_shard_rng=False, donate=False
+    )
+    ref_step = jax.jit(make_train_step(model, sched, tx, tcfg))
+
+    key = jax.random.PRNGKey(3)
+    new_sharded, m_sharded = sstep(state, _tile(shard, N_DEV), key)
+    new_ref, m_ref = ref_step(state, shard, key)
+
+    assert float(m_sharded["loss"]) == pytest.approx(
+        float(m_ref["loss"]), rel=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(new_sharded.params), jax.tree.leaves(new_ref.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
+    # gathered per-sample arrays cover the global batch
+    assert m_sharded["t"].shape == (N_DEV * B_LOCAL,)
+    assert m_sharded["loss_per_sample"].shape == (N_DEV * B_LOCAL,)
+
+
+def test_sharded_step_loss_aware_history_sees_global_batch(rng_np):
+    """The loss-second-moment history must ingest the all_gathered global
+    (t, loss) pairs — one count per GLOBAL sample, not per local shard."""
+    model, sched, tcfg, tx, state, shard = _setup(
+        rng_np, schedule_sampler="loss-second-moment"
+    )
+    mesh = create_mesh()
+    sstep = shard_train_step(model, sched, tx, tcfg, mesh, donate=False)
+    new_state, m = sstep(state, _tile(shard, N_DEV), jax.random.PRNGKey(4))
+    counts = np.asarray(new_state.sampler_state.counts)
+    assert counts.sum() == N_DEV * B_LOCAL
+    # folded shard keys: shards drew their own timesteps
+    assert len(np.unique(np.asarray(m["t"]))) > 1
+
+
+def test_sharded_fused_train_step(rng_np):
+    """The raison d'être: the fused custom-VJP backbone (opaque to GSPMD)
+    training data-parallel under shard_map, in interpret mode on the CPU
+    mesh.  The step must run, produce a finite loss close to the XLA
+    path's, and actually update the replicated params."""
+    model, sched, tcfg, tx, state, shard = _setup(rng_np, fused=True)
+    # same params, same batch, fused flag off (the param trees are
+    # identical by construction — asserted in test_pallas_kernels)
+    xmodel = RAG(
+        RAGConfig.ted(latent_dim=64, num_layers=2,
+                      fused_train_backbone=False)
+    )
+    xstate = init_train_state(
+        state.params, tx, cfg=tcfg, num_timesteps=sched.num_timesteps
+    )
+    # interpret-mode pallas fwd+bwd inside shard_map is expensive on the
+    # 1-core CPU host: a 2-device mesh tests the wiring (specs, pmean,
+    # gathers) just as well — the kernel math is covered by
+    # test_pallas_kernels and the on-device bench gate.
+    mesh = create_mesh(n_devices=2)
+    batch = _tile(shard, 2)
+    key = jax.random.PRNGKey(5)
+
+    with pltpu.force_tpu_interpret_mode():
+        sstep = shard_train_step(
+            model, sched, tx, tcfg, mesh, fold_shard_rng=False, donate=False
+        )
+        new_state, m = sstep(state, batch, key)
+        jax.block_until_ready(m["loss"])
+    xstep = shard_train_step(
+        xmodel, sched, tx, tcfg, mesh, fold_shard_rng=False, donate=False
+    )
+    _, xm = xstep(xstate, batch, key)
+
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) == pytest.approx(float(xm["loss"]), rel=1e-3)
+    before = jax.tree.leaves(state.params)
+    after = jax.tree.leaves(new_state.params)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
