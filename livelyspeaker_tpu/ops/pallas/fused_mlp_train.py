@@ -261,9 +261,16 @@ def fused_transmlp_train(x, emb, packed, act_name="silu", batch_tile=8):
     ``TransMLP.__call__`` minus the timestep embedder); unlike it, this
     version has a hand-written Pallas backward, so it can sit inside
     ``jax.value_and_grad`` in the training step.  f32 only.
+
+    Non-differentiated calls (an eval forward, a loss probe) run the
+    stash-free inference kernel — only under autodiff does ``_vjp_fwd``
+    pay the [L,S_pad,B,D] HBM stash write (~335 MB at the flagship shape)
+    that the hand-written backward consumes.  The two forwards compute the
+    same math; outputs can differ by float-reorder noise only.
     """
-    y, _ = _fwd_impl(x, emb, packed, act_name, batch_tile)
-    return y
+    from .fused_mlp import fused_transmlp
+
+    return fused_transmlp(x, emb, packed, act_name, batch_tile)
 
 
 def _fwd_impl(x, emb, packed, act_name, batch_tile):

@@ -34,27 +34,36 @@ __all__ = [
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-try:  # jax >= 0.4.35: top-level export, kwarg named check_vma
+try:  # jax >= 0.4.35: top-level export
     from jax import shard_map as _shard_map
-
-    _REP_KW = "check_vma"
-except ImportError:  # pragma: no cover — older jax: check_rep
+except ImportError:  # pragma: no cover — older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
-    _REP_KW = "check_rep"
+# The replication-check kwarg was renamed check_rep -> check_vma when
+# shard_map left experimental, NOT in lockstep with the top-level export —
+# resolve the name from the callable's own signature, not the import path.
+import inspect as _inspect
+
+_SM_PARAMS = _inspect.signature(_shard_map).parameters
+_REP_KW = (
+    "check_vma"
+    if "check_vma" in _SM_PARAMS
+    else ("check_rep" if "check_rep" in _SM_PARAMS else None)
+)
 
 
 def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
-    """Version-portable ``shard_map``: the replication-check kwarg was
-    renamed check_rep -> check_vma when shard_map left experimental; this
-    shim forwards to whichever name the installed jax accepts (both
-    disable the check when False)."""
+    """Version-portable ``shard_map``: forwards the replication-check
+    flag under whichever kwarg name the installed jax accepts (both
+    disable the check when False), or omits it if the signature has
+    neither."""
+    kw = {_REP_KW: check_vma} if _REP_KW is not None else {}
     return _shard_map(
         f,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_specs,
-        **{_REP_KW: check_vma},
+        **kw,
     )
 
 

@@ -23,7 +23,7 @@ from .models.clip_text import CLIPTextEncoder
 from .models.sag import SAG
 
 __all__ = ["RAGSampler", "LivelySpeakerPipeline", "generate_long_form",
-           "generate_long_form_stream"]
+           "generate_long_form_stream", "long_form_window_grid"]
 
 
 class RAGSampler:
@@ -240,6 +240,35 @@ class LivelySpeakerPipeline:
         )
 
 
+def long_form_window_grid(
+    n_audio_samples: int,
+    nframes: int,
+    n_pre_seq: int,
+    fps: int = 15,
+    sr: int = 16000,
+):
+    """The window grid every long-form path shares (this module's
+    generators AND serving.GestureBatcher.long_form_stream — one
+    definition so the audio-coverage semantics cannot drift apart).
+
+    Windows of ``nframes`` overlap by ``n_pre_seq`` seed frames (hop =
+    nframes - n_pre_seq); enough windows are laid down that
+    ``nframes + (n-1)*hop >= total_frames`` (the tail window's audio is
+    zero-padded by the caller), and the final window's output is cropped
+    by ``excess`` so the yielded frames sum to exactly
+    ``total_frames = max(int(n_audio_samples * fps / sr), nframes)``.
+
+    Returns ``(n_windows, excess, hop, total_frames, sample_offsets)``
+    where ``sample_offsets[w]`` is the waveform start of window ``w``.
+    """
+    hop = nframes - n_pre_seq
+    total_frames = max(int(n_audio_samples * fps / sr), nframes)
+    n_windows = max(1, -(-(total_frames - nframes) // hop) + 1)
+    excess = nframes + (n_windows - 1) * hop - total_frames
+    offsets = [int(round(w * hop / fps * sr)) for w in range(n_windows)]
+    return n_windows, excess, hop, total_frames, offsets
+
+
 def generate_long_form(
     sampler: RAGSampler,
     audio: "np.ndarray",
@@ -313,23 +342,16 @@ def generate_long_form_stream(
 
     c = sampler.model.cfg
     nf, pre = c.nframes, c.n_pre_seq
-    hop = nf - pre
-    total_frames = int(len(audio) * fps / sr)
-    if total_frames < nf:
-        total_frames = nf
-    # Cover the tail: enough windows that nf + (n-1)*hop >= total_frames
-    # (the last window's audio chunk is zero-padded below), then crop the
-    # final chunk so the yielded frames sum to exactly total_frames.
-    n_windows = max(1, -(-(total_frames - nf) // hop) + 1)
-    excess = nf + (n_windows - 1) * hop - total_frames
+    n_windows, excess, hop, _, offsets = long_form_window_grid(
+        len(audio), nf, pre, fps=fps, sr=sr
+    )
 
     seed = np.zeros((1, c.njoints, c.nfeats, nf), np.float32)
     win_samples = int(round(nf / fps * sr))
     vid = jnp.asarray([speaker])
 
     for w in range(n_windows):
-        f0 = w * hop
-        s0 = int(round(f0 / fps * sr))
+        s0 = offsets[w]
         wav = np.zeros((win_samples,), np.float32)
         chunk = np.asarray(audio[s0 : s0 + win_samples], np.float32)
         wav[: len(chunk)] = chunk

@@ -248,15 +248,16 @@ class GestureBatcher:
                 )
             self._long_active += 1
         try:
+            from .pipeline import long_form_window_grid
+
             c = self.sampler.model.cfg
             nf, pre = c.nframes, c.n_pre_seq
-            hop = nf - pre
-            total = max(int(len(audio) * fps / sr), nf)
-            n_windows = max(1, -(-(total - nf) // hop) + 1)
-            excess = nf + (n_windows - 1) * hop - total
+            n_windows, excess, _, _, offsets = long_form_window_grid(
+                len(audio), nf, pre, fps=fps, sr=sr
+            )
             seed = None
             for w in range(n_windows):
-                s0 = int(round(w * hop / fps * sr))
+                s0 = offsets[w]
                 text = (
                     sentences[w % len(sentences)] if sentences else None
                 )

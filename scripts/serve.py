@@ -278,11 +278,21 @@ def main():
         tok = (
             CLIPTokenizer(args.bpe_path) if args.bpe_path else HashTokenizer()
         )
+        comp_mesh = None
+        if args.data_parallel > 1:
+            # The batcher shards plain batches over the mesh; the
+            # composition must shard the SAME way or text-carrying batches
+            # silently run single-device (every served batch is padded to
+            # max_batch, so divisibility matches the ServeConfig assert).
+            from livelyspeaker_tpu.parallel import create_mesh
+
+            comp_mesh = create_mesh(n_devices=args.data_parallel)
         composition = LivelySpeakerPipeline(
             model, params, sag, sag_params, clip_model, clip_params, tok,
             steps=args.steps,
             timestep_respacing=args.timestep_respacing or "ddim100",
             skip_timesteps=args.skip_steps,
+            mesh=comp_mesh,
         )
 
     batcher = build_rag_server(
