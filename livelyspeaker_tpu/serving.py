@@ -60,6 +60,16 @@ class ServeConfig:
     # thread; cap how many may be in flight (each window still serialises
     # on the device lock with the batch worker).
     max_long_concurrent: int = 2
+    # Dispatch/collect pipelining: how many dispatched-but-uncollected
+    # batches may queue for the collector thread (total in flight is at most
+    # depth+1, counting the one being read back). JAX dispatch is async, so
+    # with depth >= 1 the worker gathers + dispatches batch N+1 while batch
+    # N executes and its results ride the host link back — the server was
+    # measured host-dispatch-bound (~70 ms/batch round-trip vs ~10 ms of
+    # device work at max_batch=16, docs/DESIGN.md §11), so overlapping the
+    # two is the throughput lever. Depth 0 restores the fully synchronous
+    # round-trip worker.
+    pipeline_depth: int = 1
     # Shard each served batch over the first `data_parallel` local devices
     # (parallel/sampling.py). max_batch must be a multiple; the batcher
     # already pads every batch to exactly max_batch rows.
@@ -100,11 +110,18 @@ _SHUTDOWN = object()
 class GestureBatcher:
     """Coalesce concurrent requests into fixed-shape sampler batches.
 
-    One worker thread owns the device: it drains the queue up to
-    ``max_batch`` requests (waiting at most ``max_wait_ms`` after the first),
-    pads the batch to exactly ``max_batch`` rows, and runs the sampler once.
-    Padding rows reuse row 0's conditioning and are discarded — the cost of a
-    padded row is already paid by the fixed executable shape.
+    Two stages pipeline the host work against the device (ServeConfig.
+    pipeline_depth): the dispatch worker drains the queue up to ``max_batch``
+    requests (waiting at most ``max_wait_ms`` after the first), pads the
+    batch to exactly ``max_batch`` rows and dispatches the sampler (JAX
+    dispatch is async — the call returns while the device still executes);
+    the collector thread blocks on the in-flight outputs in order, reads
+    them back and fans results out. While batch N executes + rides the host
+    link back, the worker is already gathering and dispatching batch N+1 —
+    the server is host-dispatch-bound at production shapes (DESIGN §11), so
+    this overlap, not device speed, sets throughput. Padding rows reuse
+    row 0's conditioning and are discarded — the cost of a padded row is
+    already paid by the fixed executable shape.
     """
 
     def __init__(
@@ -134,8 +151,16 @@ class GestureBatcher:
         # Counters/latency list are touched by worker + handler threads.
         self._stats_lock = threading.Lock()
         self._long_active = 0
+        # Dispatch->collect handoff: dispatched-but-unread batches. The
+        # bounded depth is the in-flight cap — a full queue blocks the
+        # dispatch worker, bounding device memory and queueing latency.
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(1, cfg.pipeline_depth)
+        )
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._collector = threading.Thread(target=self._collect, daemon=True)
         self._worker.start()
+        self._collector.start()
 
     # ------------------------------------------------------------- client
     def submit(
@@ -198,6 +223,7 @@ class GestureBatcher:
             "requests_served": requests,
             "rejected": rejected,
             "pending": self._q.qsize(),
+            "inflight_batches": self._inflight.qsize(),
             "long_active": long_active,
             "mean_batch_occupancy": (
                 requests / batches if batches else 0.0
@@ -294,6 +320,11 @@ class GestureBatcher:
         except queue.Full:
             pass
         self._worker.join(timeout=10)
+        # Worker is done (or timed out) — nothing dispatches anymore; drain
+        # the collector with a sentinel. put() may momentarily block on a
+        # full in-flight queue, which the collector is actively draining.
+        self._inflight.put(_SHUTDOWN)
+        self._collector.join(timeout=10)
 
     # ------------------------------------------------------------- worker
     def _run(self) -> None:
@@ -319,13 +350,29 @@ class GestureBatcher:
                     break
                 batch.append(item)
             try:
-                self._serve(batch)
+                out = self._dispatch(batch)
             except BaseException as e:  # propagate to every waiter
                 for r in batch:
                     r.error = e
                     r.done.set()
+                continue
+            if self.cfg.pipeline_depth <= 0:  # synchronous round-trip mode
+                self._finish(batch, out)
+                continue
+            # Hand to the collector; a full in-flight queue blocks here,
+            # which is the pipeline-depth cap doing its job.
+            while not self._stop.is_set():
+                try:
+                    self._inflight.put((batch, out), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            else:  # shutting down with the pipe full: finish inline
+                self._finish(batch, out)
 
-    def _serve(self, batch: Sequence[GestureRequest]) -> None:
+    def _dispatch(self, batch: Sequence[GestureRequest]):
+        """Build the padded batch and dispatch the sampler (async). Returns
+        the still-executing device array; the collector thread reads it."""
         n, bsz = len(batch), self.cfg.max_batch
         audio = np.zeros((bsz, self.n_samples), np.float32)
         vid = np.zeros((bsz,), np.int64)
@@ -367,7 +414,25 @@ class GestureBatcher:
                 )
             else:
                 out = self.sampler(cond, sub, guidance=jnp.asarray(guidance))
+        return out
+
+    def _collect(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is _SHUTDOWN:
+                return
+            batch, out = item
+            self._finish(batch, out)
+
+    def _finish(self, batch: Sequence[GestureRequest], out) -> None:
+        n = len(batch)
+        try:
             out_np = np.asarray(jax.block_until_ready(out))
+        except BaseException as e:
+            for r in batch:
+                r.error = e
+                r.done.set()
+            return
 
         now = time.monotonic()
         with self._stats_lock:

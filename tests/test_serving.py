@@ -16,7 +16,8 @@ from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _tiny_server(max_batch=4, max_wait_ms=100.0, data_parallel=1):
+def _tiny_server(max_batch=4, max_wait_ms=100.0, data_parallel=1,
+                 pipeline_depth=1):
     cfg = RAGConfig(latent_dim=64, num_layers=2, n_speakers=4)
     model = RAG(cfg)
     rng = np.random.default_rng(0)
@@ -42,6 +43,7 @@ def _tiny_server(max_batch=4, max_wait_ms=100.0, data_parallel=1):
         sampler="ddim",
         use_fused=False,  # Pallas fast path is TPU-only; XLA path on CPU
         data_parallel=data_parallel,
+        pipeline_depth=pipeline_depth,
     )
     return build_rag_server(model, params, serve_cfg), cfg
 
@@ -400,3 +402,73 @@ def test_http_streaming_long_request():
     finally:
         srv.shutdown()
         batcher.close()
+
+
+def test_pipelined_dispatch_overlaps_readback():
+    """pipeline_depth >= 1: the worker dispatches batch N+1 while batch N's
+    readback is still in the collector's hands; depth 0 is the synchronous
+    round-trip worker (dispatch N+1 strictly after N finishes)."""
+    import time
+
+    class _SlowReadback:
+        def __init__(self, arr, delay, finish_times):
+            self._arr = arr
+            self._delay = delay
+            self._finish = finish_times
+
+        def __array__(self, dtype=None):
+            time.sleep(self._delay)
+            self._finish.append(time.monotonic())
+            a = self._arr
+            return a.astype(dtype) if dtype is not None else a
+
+    class _FakeSampler:
+        """Instant dispatch, slow readback — models the async device."""
+
+        def __init__(self, model, shape, delay):
+            self.model = model
+            self._shape = shape
+            self._delay = delay
+            self.dispatch_times = []
+            self.finish_times = []
+
+        def __call__(self, cond, rng, *, guidance):
+            self.dispatch_times.append(time.monotonic())
+            b = int(np.asarray(cond["vid"]).shape[0])
+            return _SlowReadback(
+                np.zeros((b,) + self._shape, np.float32),
+                self._delay,
+                self.finish_times,
+            )
+
+    for depth, want_overlap in ((0, False), (1, True), (2, True)):
+        batcher, cfg = _tiny_server(
+            max_batch=1, max_wait_ms=1.0, pipeline_depth=depth
+        )
+        try:
+            fake = _FakeSampler(
+                batcher.sampler.model,
+                (cfg.njoints, cfg.nfeats, cfg.nframes),
+                delay=0.25,
+            )
+            batcher.sampler = fake
+            reqs = [
+                batcher.submit(np.zeros(10, np.float32), speaker=i % 4)
+                for i in range(3)
+            ]
+            for r in reqs:
+                out = r.wait(timeout=60)
+                assert out.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
+            assert len(fake.dispatch_times) == 3
+            assert len(fake.finish_times) == 3
+            overlapped = fake.dispatch_times[1] < fake.finish_times[0]
+            assert overlapped == want_overlap, (
+                f"depth={depth}: dispatch[1]={fake.dispatch_times[1]:.3f} "
+                f"finish[0]={fake.finish_times[0]:.3f}"
+            )
+            st = batcher.stats()
+            assert st["requests_served"] == 3
+            assert st["batches_served"] == 3
+            assert "inflight_batches" in st
+        finally:
+            batcher.close()
