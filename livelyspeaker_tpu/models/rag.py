@@ -67,6 +67,7 @@ class RAGConfig:
         cond_mask_prob: float = 0.1,
         dtype: Any = jnp.float32,
         fused_train_backbone: bool = False,
+        audio_bf16: bool = False,
     ):
         self.njoints = njoints
         self.nfeats = nfeats
@@ -84,6 +85,11 @@ class RAGConfig:
         # Train-time fast path: mixer stack through the fused Pallas kernel
         # with hand-written backward (f32, single-device).
         self.fused_train_backbone = fused_train_backbone
+        # bf16 activations for the HBM-bound WavEncoder conv stack only
+        # (params + returned features stay f32; audio_encoder.py docstring).
+        # Orthogonal to TrainConfig.compute_dtype, which casts the whole
+        # model and measured slower on the VPU-bound mixer (DESIGN §9).
+        self.audio_bf16 = audio_bf16
 
     @property
     def input_feats(self) -> int:
@@ -116,7 +122,9 @@ class RAG(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.audio_encoder = WavEncoder()
+        self.audio_encoder = WavEncoder(
+            dtype=jnp.bfloat16 if c.audio_bf16 else jnp.float32
+        )
         self.input_mapping = nn.Dense(c.latent_dim, name="input_mapping")
         self.speaker_embedding = nn.Embed(
             c.n_speakers,

@@ -109,6 +109,33 @@ class RAGSampler:
             )
         return jax.jit(fn)
 
+    def update_params(self, params) -> None:
+        """Hot-swap the model weights (serving checkpoint reload).
+
+        ``params`` is a traced ARGUMENT of every cached executable — not a
+        closure constant — so a swap with the same tree structure and leaf
+        shapes reuses every compiled program: no recompile, no dropped
+        traffic.  Structure/shape are validated eagerly so a wrong
+        checkpoint fails the reload call, not a later sampling call (a
+        shape change would otherwise silently retrigger a 30s+ compile)."""
+        old = jax.tree_util.tree_leaves_with_path(self.params)
+        new = jax.tree_util.tree_leaves_with_path(params)
+        if jax.tree_util.tree_structure(params) != jax.tree_util.tree_structure(
+            self.params
+        ):
+            raise ValueError("checkpoint param tree structure differs from "
+                             "the serving model's")
+        bad = [
+            jax.tree_util.keystr(kp)
+            for (kp, a), (_, b) in zip(new, old)
+            if a.shape != b.shape or a.dtype != b.dtype
+        ]
+        if bad:
+            raise ValueError(
+                f"checkpoint leaf shape/dtype mismatch at: {', '.join(bad)}"
+            )
+        self.params = params
+
     def __call__(
         self,
         cond: Dict[str, jnp.ndarray],

@@ -151,6 +151,7 @@ class GestureBatcher:
         # Counters/latency list are touched by worker + handler threads.
         self._stats_lock = threading.Lock()
         self._long_active = 0
+        self._param_version = 0  # bumps on each reload_params
         # Dispatch->collect handoff: dispatched-but-unread batches. The
         # bounded depth is the in-flight cap — a full queue blocks the
         # dispatch worker, bounding device memory and queueing latency.
@@ -208,6 +209,25 @@ class GestureBatcher:
     def generate(self, audio: np.ndarray, timeout: float = 300.0, **kw) -> np.ndarray:
         return self.submit(audio, **kw).wait(timeout)
 
+    def reload_params(self, params) -> int:
+        """Hot-swap model weights with zero downtime (checkpoint reload).
+
+        Weights are traced arguments of the compiled sampler (see
+        RAGSampler.update_params), so the swap reuses every executable;
+        batches dispatched before the swap finish on the old weights,
+        everything after uses the new ones.  The swap serialises on the
+        device lock with dispatch, so no batch sees a half-updated tree.
+        When a composition pipeline is attached, its RAG refinement stage is
+        swapped too (SAG/CLIP towers are frozen conditioners — redeploy to
+        change those).  Returns the new params version (1-based)."""
+        with self._device_lock:
+            self.sampler.update_params(params)
+            if self.composition is not None:
+                self.composition.rag_sampler.update_params(params)
+        with self._stats_lock:
+            self._param_version += 1
+            return self._param_version
+
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
@@ -215,6 +235,7 @@ class GestureBatcher:
             requests = self._requests_served
             rejected = self._rejected
             long_active = self._long_active
+            param_version = self._param_version
         pct = lambda p: (
             lat[min(int(p * len(lat)), len(lat) - 1)] if lat else 0.0
         )
@@ -225,6 +246,7 @@ class GestureBatcher:
             "pending": self._q.qsize(),
             "inflight_batches": self._inflight.qsize(),
             "long_active": long_active,
+            "param_version": param_version,
             "mean_batch_occupancy": (
                 requests / batches if batches else 0.0
             ),

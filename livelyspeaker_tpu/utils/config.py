@@ -82,6 +82,10 @@ def add_training_options(p: argparse.ArgumentParser):
                         "(ops/pallas/fused_mlp_train.py; f32). On multi-"
                         "device meshes trains via the explicit shard_map "
                         "DP step (parallel/training.py)")
+    g.add_argument("--audio_bf16", action="store_true",
+                   help="bf16 activations for the HBM-bound WavEncoder conv "
+                        "stack (params/features stay f32; the VPU-bound "
+                        "mixer is unaffected — models/audio_encoder.py)")
     g.add_argument("--device_resident", type=int, default=0,
                    help="1: stage the whole dataset in device HBM once and "
                         "gather batches by index (per-step host traffic "

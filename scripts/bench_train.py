@@ -32,7 +32,8 @@ import numpy as np
 
 
 def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
-                layers: int, fused_train: bool = False) -> dict:
+                layers: int, fused_train: bool = False,
+                audio_bf16: bool = False) -> dict:
     from livelyspeaker_tpu.diffusion import DiffusionSchedule
     from livelyspeaker_tpu.models import (
         RAG,
@@ -47,7 +48,8 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
     )
 
     cfg = RAGConfig.ted(latent_dim=latent, num_layers=layers,
-                        fused_train_backbone=fused_train)
+                        fused_train_backbone=fused_train,
+                        audio_bf16=audio_bf16)
     model = RAG(cfg)
     rng = np.random.default_rng(0)
     nf = cfg.nframes
@@ -105,6 +107,7 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
         "batch": batch,
         "compute_dtype": compute_dtype,
         "fused_train": fused_train,
+        "audio_bf16": audio_bf16,
         "clips_per_sec": round(batch / dt, 1),
         "compile_s": round(compile_s, 1),
         "final_loss": round(loss, 4),
@@ -209,6 +212,9 @@ def main():
     p.add_argument("--fused_train", action="store_true",
                    help="mixer backbone through the fused Pallas kernel "
                         "with hand-written backward")
+    p.add_argument("--audio_bf16", action="store_true",
+                   help="bf16 activations for the HBM-bound WavEncoder "
+                        "conv stack (params/features stay f32)")
     p.add_argument("--loaders", action="store_true",
                    help="also measure end-to-end steps/s with the "
                         "streaming vs device-resident loaders")
@@ -217,7 +223,8 @@ def main():
     print("devices:", jax.devices(), file=sys.stderr)
     for dt in args.dtypes:
         r = bench_dtype(dt, args.batch, args.steps, args.latent_dim,
-                        args.layers, fused_train=args.fused_train)
+                        args.layers, fused_train=args.fused_train,
+                        audio_bf16=args.audio_bf16)
         print(json.dumps(r))
     if args.loaders:
         for r in bench_loaders(args.batch, args.steps, args.latent_dim,

@@ -18,7 +18,13 @@ one compiled executable, per-sample guidance).
         client animates while later windows still sample).
         503 + {"error": ...} when the pending queue is full (backpressure).
     GET  /healthz       {"ok": true, "devices": [...]}
-    GET  /stats         occupancy, pending/rejected, latency p50/p95/p99
+    GET  /stats         occupancy, pending/rejected, latency p50/p95/p99,
+                        param_version
+    POST /v1/reload     {"model_path": "ckpts/TED/model_new.npz"}
+        Zero-downtime checkpoint hot-swap (e.g. roll serving onto a newer
+        or EMA checkpoint): weights are traced arguments of the compiled
+        sampler, so the swap reuses every executable — no recompile, no
+        dropped requests. Same param tree required (shape mismatch -> 400).
 
 Example:
     python scripts/serve.py --model_path ckpts/TED/RAG.npz --port 8000
@@ -74,6 +80,27 @@ def make_handler(batcher):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/v1/reload":
+                # Admin: hot-swap model weights with zero downtime. The
+                # checkpoint must have the same param tree (shapes/dtypes)
+                # as the serving model — RAGSampler.update_params validates
+                # eagerly and a mismatch is a clean 400, traffic unaffected.
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    from livelyspeaker_tpu.training.checkpoints import (
+                        load_params_npz,
+                    )
+                    new_params = load_params_npz(req["model_path"])
+                    version = batcher.reload_params(new_params)
+                    self._json(
+                        200,
+                        {"ok": True, "param_version": version,
+                         "model_path": req["model_path"]},
+                    )
+                except Exception as e:  # noqa: BLE001 — report to client
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/v1/generate":
                 self._json(404, {"error": "not found"})
                 return

@@ -109,6 +109,7 @@ def main():
         num_emotions=args.num_emotions,
         cond_mask_prob=args.cond_mask_prob,
         fused_train_backbone=bool(getattr(args, "fused_train", False)),
+        audio_bf16=bool(getattr(args, "audio_bf16", False)),
     )
     model = RAG(cfg)
     sched = DiffusionSchedule.create(

@@ -59,6 +59,38 @@ def test_wav_encoder_output_frames(rng_np):
     assert out.shape == (B, 34, 256)
 
 
+def test_wav_encoder_bf16_matches_f32(rng_np):
+    """audio_bf16: same f32 params, bf16 activations — features within the
+    bf16 noise floor, returned f32, and master-param grads stay f32 (the
+    HBM-bound training-step option, audio_encoder.py module docstring)."""
+    wav = jnp.asarray(
+        rng_np.normal(size=(B, AUDIO_LEN)).astype(np.float32) * 0.1
+    )
+    enc32, enc16 = WavEncoder(), WavEncoder(dtype=jnp.bfloat16)
+    params = enc32.init(jax.random.PRNGKey(0), wav)
+    f32 = enc32.apply(params, wav)
+    f16 = enc16.apply(params, wav)
+    assert f16.dtype == jnp.float32 and f16.shape == f32.shape
+    rel = float(jnp.max(jnp.abs(f16 - f32)) / jnp.max(jnp.abs(f32)))
+    assert rel < 3e-2, f"bf16 WavEncoder diverged: rel={rel}"
+
+    g = jax.grad(lambda p: jnp.sum(enc16.apply(p, wav) ** 2))(params)
+    assert all(
+        l.dtype == jnp.float32 and bool(jnp.isfinite(l).all())
+        for l in jax.tree_util.tree_leaves(g)
+    )
+
+    # plumbed through the model config
+    cfg = RAGConfig.ted(latent_dim=64, num_layers=2, audio_bf16=True)
+    model = RAG(cfg)
+    rcond = _cond(rng_np, cfg)
+    rp = _init(model, cfg, rcond)
+    feats = model.apply(
+        {"params": rp}, rcond["audio"], method=RAG.encode_audio
+    )
+    assert feats.dtype == jnp.float32 and feats.shape == (B, T, 256)
+
+
 def test_rag_forward_shapes_ted(rng_np):
     cfg = RAGConfig.ted()
     model = RAG(cfg)

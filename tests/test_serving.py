@@ -4,6 +4,7 @@ import importlib.util
 import json
 import os
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -357,6 +358,39 @@ def test_http_server_roundtrip():
             f"http://127.0.0.1:{port}/stats", timeout=30
         ) as r:
             assert json.loads(r.read())["requests_served"] >= 1
+
+        # zero-downtime checkpoint hot-swap via the admin endpoint
+        import tempfile
+
+        from livelyspeaker_tpu.training.checkpoints import save_params_npz
+
+        ckpt = os.path.join(tempfile.mkdtemp(), "model_v2.npz")
+        save_params_npz(
+            ckpt,
+            jax.tree_util.tree_map(lambda p: p * 2.0, batcher.sampler.params),
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/reload",
+            data=json.dumps({"model_path": ckpt}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["ok"] is True and out["param_version"] == 1
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/reload",
+            data=json.dumps({"model_path": "/nonexistent.npz"}).encode(),
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            assert json.loads(r.read())["param_version"] == 1
     finally:
         srv.shutdown()
         batcher.close()
@@ -401,6 +435,48 @@ def test_http_streaming_long_request():
         assert np.isfinite(m0).all()
     finally:
         srv.shutdown()
+        batcher.close()
+
+
+def test_reload_params_hot_swaps_weights():
+    """Checkpoint hot-reload: the swap reuses the compiled executable (params
+    are traced args), takes effect for subsequent batches, bumps
+    param_version, and rejects mismatched trees without disturbing service."""
+    batcher, cfg = _tiny_server(max_batch=2, max_wait_ms=5.0)
+    try:
+        audio = np.random.default_rng(3).normal(size=10).astype(np.float32)
+        out_v0 = batcher.generate(audio, timeout=300.0, speaker=1)
+        assert batcher.stats()["param_version"] == 0
+
+        # same tree, different values: scale every leaf
+        old_params = batcher.sampler.params
+        new_params = jax.tree_util.tree_map(lambda p: p * 1.5, old_params)
+        n_exec_before = len(batcher.sampler._jitted)
+        version = batcher.reload_params(new_params)
+        assert version == 1
+        assert batcher.stats()["param_version"] == 1
+        out_v1 = batcher.generate(audio, timeout=300.0, speaker=1)
+        assert len(batcher.sampler._jitted) == n_exec_before, (
+            "reload must reuse the compiled executables"
+        )
+        assert out_v1.shape == out_v0.shape
+        assert np.isfinite(out_v1).all()
+        assert not np.allclose(out_v1, out_v0), (
+            "new weights must change the output"
+        )
+
+        # wrong tree structure -> eager failure, service unaffected
+        with pytest.raises(ValueError):
+            batcher.reload_params({"bogus": np.zeros(3)})
+        # wrong leaf shape, same structure -> eager failure too
+        bad = jax.tree_util.tree_map(
+            lambda p: np.zeros(p.shape + (2,), p.dtype), old_params
+        )
+        with pytest.raises(ValueError):
+            batcher.reload_params(bad)
+        assert batcher.stats()["param_version"] == 1
+        assert np.isfinite(batcher.generate(audio, timeout=300.0)).all()
+    finally:
         batcher.close()
 
 
