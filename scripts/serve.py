@@ -227,10 +227,10 @@ def main():
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=25.0)
-    p.add_argument("--pipeline_depth", type=int, default=1,
+    p.add_argument("--pipeline_depth", type=int, default=2,
                    help="dispatched-but-uncollected batches that may queue; "
-                        "0 = synchronous round-trip worker "
-                        "(serving.py: ServeConfig.pipeline_depth)")
+                        "0 = synchronous round-trip worker; 2 = measured "
+                        "best (serving.py: ServeConfig.pipeline_depth)")
     p.add_argument("--max_queue", type=int, default=128,
                    help="pending-request cap; beyond it requests get 503")
     p.add_argument("--steps", type=int, default=1000)

@@ -480,6 +480,46 @@ def test_reload_params_hot_swaps_weights():
         batcher.close()
 
 
+def test_reload_concurrent_with_traffic():
+    """Hot-swapping while requests stream must never produce an error or a
+    half-updated tree: every response is finite and service stats stay
+    consistent across multiple reloads."""
+    batcher, cfg = _tiny_server(max_batch=2, max_wait_ms=5.0,
+                                pipeline_depth=2)
+    try:
+        base = batcher.sampler.params
+        audio = np.random.default_rng(5).normal(size=10).astype(np.float32)
+        # warm the executable so the traffic below is steady-state
+        batcher.generate(audio, timeout=300.0)
+
+        errors = []
+
+        def client(n):
+            for i in range(n):
+                try:
+                    out = batcher.generate(audio, timeout=300.0, speaker=i % 4)
+                    assert np.isfinite(out).all()
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(6,))
+                   for _ in range(3)]
+        for t in threads:
+            t.start()
+        for v in range(4):
+            batcher.reload_params(
+                jax.tree_util.tree_map(lambda p: p * (1.0 + 0.1 * v), base)
+            )
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        st = batcher.stats()
+        assert st["param_version"] == 4
+        assert st["requests_served"] >= 19
+    finally:
+        batcher.close()
+
+
 def test_pipelined_dispatch_overlaps_readback():
     """pipeline_depth >= 1: the worker dispatches batch N+1 while batch N's
     readback is still in the collector's hands; depth 0 is the synchronous
