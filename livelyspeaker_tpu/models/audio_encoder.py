@@ -14,7 +14,7 @@ CFG passes of every step, RAG.py:106 — hoisting it is pure win).
 
 Mixed precision: unlike the VPU-bound mixer backbone (where bf16 measured
 *slower*, docs/DESIGN.md §9), this stack is HBM-bandwidth-bound — the conv0
-activation is [B, 7853, 32] and the instance-norm passes re-stream it several
+activation is [B, 7891, 32] and the instance-norm passes re-stream it several
 times — so halving the bytes with ``dtype=bfloat16`` is the right lever for
 the *training* step (inference hoists the encoder out of the scan, where its
 cost is negligible).  Params stay f32 (flax casts them per-call, and the cast

@@ -62,7 +62,9 @@ class ServeConfig:
     max_long_concurrent: int = 2
     # Dispatch/collect pipelining: how many dispatched-but-uncollected
     # batches may queue for the collector thread (total in flight is at most
-    # depth+1, counting the one being read back). JAX dispatch is async, so
+    # depth+2: the queue, plus the one the collector is reading back, plus
+    # the one the worker has dispatched and is blocked handing over). JAX
+    # dispatch is async, so
     # with depth >= 1 the worker gathers + dispatches batch N+1 while batch
     # N executes and its results ride the host link back — the server was
     # measured host-dispatch-bound (~70 ms/batch round-trip vs ~10 ms of
@@ -228,9 +230,24 @@ class GestureBatcher:
             self.sampler.update_params(params)
             if self.composition is not None:
                 self.composition.rag_sampler.update_params(params)
+            # Version bump INSIDE the device lock: with concurrent reloads
+            # the returned version must name the swap that actually won
+            # (bumping outside would let the later swap return the earlier
+            # number, misattributing which checkpoint is live).
+            with self._stats_lock:
+                self._param_version += 1
+                return self._param_version
+
+    def reset_stats(self) -> None:
+        """Zero the counters and the latency window (param_version is
+        deployment state, not a counter — it survives).  Benchmarks call
+        this after their warm-up request so compile latency and the
+        occupancy-1 warm batch don't contaminate the reported numbers."""
         with self._stats_lock:
-            self._param_version += 1
-            return self._param_version
+            self._batches_served = 0
+            self._requests_served = 0
+            self._rejected = 0
+            self._latencies_ms.clear()
 
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:

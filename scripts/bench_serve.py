@@ -95,6 +95,10 @@ def main():
     t0 = time.time()
     batcher.generate(np.zeros(n_samples, np.float32), timeout=3600.0)
     print(f"warm compile: {time.time() - t0:.1f}s", file=sys.stderr)
+    # Drop the warm-up from the reported stats: its compile-time latency
+    # would otherwise become the p99 and its occupancy-1 batch would
+    # understate mean occupancy.
+    batcher.reset_stats()
 
     audio = rng.normal(size=(args.burst, n_samples)).astype(np.float32)
     speakers = rng.integers(0, cfg.n_speakers, size=args.burst)

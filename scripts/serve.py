@@ -20,11 +20,14 @@ one compiled executable, per-sample guidance).
     GET  /healthz       {"ok": true, "devices": [...]}
     GET  /stats         occupancy, pending/rejected, latency p50/p95/p99,
                         param_version
-    POST /v1/reload     {"model_path": "ckpts/TED/model_new.npz"}
+    POST /v1/reload     {"model_path": "ckpts/TED/model_new.npz",
+                         "token": "..."}
         Zero-downtime checkpoint hot-swap (e.g. roll serving onto a newer
         or EMA checkpoint): weights are traced arguments of the compiled
         sampler, so the swap reuses every executable — no recompile, no
         dropped requests. Same param tree required (shape mismatch -> 400).
+        Admin-gated: disabled unless the server was started with
+        --reload_token, and the request must echo the token (403 otherwise).
 
 Example:
     python scripts/serve.py --model_path ckpts/TED/RAG.npz --port 8000
@@ -53,7 +56,7 @@ import numpy as np
 from livelyspeaker_tpu.serving import ServerOverloaded
 
 
-def make_handler(batcher):
+def make_handler(batcher, reload_token: str = ""):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # required for chunked streaming
 
@@ -82,12 +85,29 @@ def make_handler(batcher):
         def do_POST(self):
             if self.path == "/v1/reload":
                 # Admin: hot-swap model weights with zero downtime. The
-                # checkpoint must have the same param tree (shapes/dtypes)
-                # as the serving model — RAGSampler.update_params validates
-                # eagerly and a mismatch is a clean 400, traffic unaffected.
+                # endpoint loads weights from a filesystem path, so it is
+                # DISABLED unless the operator started the server with
+                # --reload_token; requests must echo the token. (The
+                # generate port is client-facing — an unauthenticated
+                # reload would let any client swap the production model.)
+                # The checkpoint must have the same param tree
+                # (shapes/dtypes) as the serving model —
+                # RAGSampler.update_params validates eagerly and a
+                # mismatch is a clean 400, traffic unaffected.
+                if not reload_token:
+                    self._json(403, {"error": "reload disabled: start the "
+                                              "server with --reload_token"})
+                    return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(length) or b"{}")
+                    import hmac
+
+                    if not hmac.compare_digest(
+                        str(req.get("token", "")), reload_token
+                    ):
+                        self._json(403, {"error": "bad reload token"})
+                        return
                     from livelyspeaker_tpu.training.checkpoints import (
                         load_params_npz,
                     )
@@ -248,6 +268,12 @@ def main():
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard each served batch over this many local "
                         "devices (max_batch must be a multiple)")
+    p.add_argument("--reload_token", type=str, default="",
+                   help="enable POST /v1/reload (zero-downtime checkpoint "
+                        "hot-swap); requests must carry this token. Empty "
+                        "(default) disables the endpoint — it loads weights "
+                        "from a filesystem path, so it must not be open to "
+                        "generate-API clients")
     args = p.parse_args()
 
     from livelyspeaker_tpu.models import RAG, RAGConfig
@@ -349,7 +375,10 @@ def main():
     batcher.generate(np.zeros(16000, np.float32), timeout=3600.0)
     print(f"warm; serving on http://{args.host}:{args.port}")
 
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(batcher))
+    srv = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(batcher, reload_token=args.reload_token),
+    )
 
     # Graceful termination under orchestration (SIGTERM from k8s etc.):
     # stop accepting, drain in-flight batches, then exit 0.

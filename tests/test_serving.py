@@ -331,7 +331,8 @@ def test_http_server_roundtrip():
     from http.server import ThreadingHTTPServer
 
     srv = ThreadingHTTPServer(
-        ("127.0.0.1", 0), serve_cli.make_handler(batcher)
+        ("127.0.0.1", 0),
+        serve_cli.make_handler(batcher, reload_token="sekrit"),
     )
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -369,9 +370,23 @@ def test_http_server_roundtrip():
             ckpt,
             jax.tree_util.tree_map(lambda p: p * 2.0, batcher.sampler.params),
         )
+        # missing/wrong token -> 403, no swap
+        for tok in ({}, {"token": "wrong"}):
+            noauth = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/reload",
+                data=json.dumps({"model_path": ckpt, **tok}).encode(),
+            )
+            try:
+                urllib.request.urlopen(noauth, timeout=60)
+                assert False, "expected HTTP 403"
+            except urllib.error.HTTPError as e:
+                assert e.code == 403
+
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/v1/reload",
-            data=json.dumps({"model_path": ckpt}).encode(),
+            data=json.dumps(
+                {"model_path": ckpt, "token": "sekrit"}
+            ).encode(),
         )
         with urllib.request.urlopen(req, timeout=60) as r:
             out = json.loads(r.read())
@@ -379,7 +394,9 @@ def test_http_server_roundtrip():
 
         bad = urllib.request.Request(
             f"http://127.0.0.1:{port}/v1/reload",
-            data=json.dumps({"model_path": "/nonexistent.npz"}).encode(),
+            data=json.dumps(
+                {"model_path": "/nonexistent.npz", "token": "sekrit"}
+            ).encode(),
         )
         try:
             urllib.request.urlopen(bad, timeout=60)
