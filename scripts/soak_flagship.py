@@ -60,6 +60,10 @@ def train_cmd(save_dir, epochs, data_dir, a, resume=False):
         "--device_resident", "1",
         "--seed", "233",
     ]
+    if a.fused_train:
+        cmd.append("--fused_train")
+    if a.audio_bf16:
+        cmd.append("--audio_bf16")
     if resume:
         cmd += ["--resume_checkpoint", "1"]
     return cmd
@@ -86,6 +90,11 @@ def main():
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--n_clips", type=int, default=40)
     p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--fused_train", action="store_true",
+                   help="soak the production fast path: fused custom-VJP "
+                        "backbone (resume bit-exactness must hold there too)")
+    p.add_argument("--audio_bf16", action="store_true",
+                   help="soak with the bf16 WavEncoder (DESIGN §16)")
     p.add_argument("--out", type=str, default="/tmp/soak_flagship")
     a = p.parse_args()
 
