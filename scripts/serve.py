@@ -20,6 +20,8 @@ one compiled executable, per-sample guidance).
     GET  /healthz       {"ok": true, "devices": [...]}
     GET  /stats         occupancy, pending/rejected, latency p50/p95/p99,
                         param_version
+    GET  /metrics       the same numbers in Prometheus text exposition
+                        format (livelyspeaker_* gauges/counters)
     POST /v1/reload     {"model_path": "ckpts/TED/model_new.npz",
                          "token": "..."}
         Zero-downtime checkpoint hot-swap (e.g. roll serving onto a newer
@@ -79,6 +81,25 @@ def make_handler(batcher, reload_token: str = ""):
                 )
             elif self.path == "/stats":
                 self._json(200, batcher.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same numbers /stats
+                # serves as JSON, so a standard scraper needs no adapter.
+                st = batcher.stats()
+                counters = {"batches_served", "requests_served", "rejected"}
+                lines = []
+                for k, v in st.items():
+                    name = f"livelyspeaker_{k}"
+                    kind = "counter" if k in counters else "gauge"
+                    lines.append(f"# TYPE {name} {kind}")
+                    lines.append(f"{name} {float(v)}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

@@ -408,6 +408,16 @@ def test_http_server_roundtrip():
             f"http://127.0.0.1:{port}/stats", timeout=30
         ) as r:
             assert json.loads(r.read())["param_version"] == 1
+
+        # Prometheus exposition mirrors /stats
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE livelyspeaker_requests_served counter" in text
+        assert "livelyspeaker_param_version 1.0" in text
+        assert "# TYPE livelyspeaker_latency_ms_p99 gauge" in text
     finally:
         srv.shutdown()
         batcher.close()
