@@ -186,6 +186,10 @@ class GestureBatcher:
         (already-admitted long-form chains submitting their next window)
         waits for space instead, so a chain can't be killed mid-stream by
         transient bursts."""
+        if self._stop.is_set():
+            # A request accepted after close() would sit unserved until the
+            # client times out; fail it at admission instead.
+            raise RuntimeError("server is shutting down")
         a = np.zeros((self.n_samples,), np.float32)
         src = np.asarray(audio, np.float32).reshape(-1)[: self.n_samples]
         a[: src.shape[0]] = src
@@ -365,8 +369,13 @@ class GestureBatcher:
         self._worker.join(timeout=10)
         # Worker is done (or timed out) — nothing dispatches anymore; drain
         # the collector with a sentinel. put() may momentarily block on a
-        # full in-flight queue, which the collector is actively draining.
-        self._inflight.put(_SHUTDOWN)
+        # full in-flight queue, which the collector is actively draining;
+        # the timeout covers the pathological case of a dead collector
+        # (close() must never hang).
+        try:
+            self._inflight.put(_SHUTDOWN, timeout=10)
+        except queue.Full:
+            pass
         self._collector.join(timeout=10)
 
     # ------------------------------------------------------------- worker

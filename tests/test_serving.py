@@ -102,23 +102,36 @@ def test_batcher_audio_pad_and_trim():
 def test_backpressure_rejects_when_queue_full():
     from livelyspeaker_tpu.serving import ServerOverloaded
 
-    batcher, _ = _tiny_server(max_batch=2)
+    import queue as _q
+    import time as _t
+
+    batcher, _ = _tiny_server(max_batch=2, max_wait_ms=50.0)
     try:
         batcher.cfg.max_queue = 2
-        # freeze the worker so the queue can't drain
-        batcher._stop.set()
-        batcher._worker.join(timeout=5)
-        import queue as _q
-
         batcher._q = _q.Queue(maxsize=2)
-        batcher.submit(np.zeros(10, np.float32))
-        batcher.submit(np.zeros(10, np.float32))
-        with pytest.raises(ServerOverloaded):
+        # Freeze the worker mid-service by holding the device lock: it
+        # dequeues the first request, its batching window expires, and it
+        # blocks in _dispatch — everything submitted after stays queued.
+        # (Setting _stop would conflate this with shutdown, which submit()
+        # now rejects at admission.)
+        with batcher._device_lock:
             batcher.submit(np.zeros(10, np.float32))
-        assert batcher.stats()["rejected"] == 1
-        assert batcher.stats()["pending"] == 2
+            _t.sleep(0.5)  # worker picks it up + window expires
+            batcher.submit(np.zeros(10, np.float32))
+            batcher.submit(np.zeros(10, np.float32))
+            with pytest.raises(ServerOverloaded):
+                batcher.submit(np.zeros(10, np.float32))
+            assert batcher.stats()["rejected"] == 1
+            assert batcher.stats()["pending"] == 2
     finally:
         batcher.close()
+
+
+def test_submit_after_close_rejected():
+    batcher, _ = _tiny_server(max_batch=2)
+    batcher.close()
+    with pytest.raises(RuntimeError):
+        batcher.submit(np.zeros(10, np.float32))
 
 
 def test_latency_percentiles_populate():
