@@ -44,6 +44,10 @@ def main():
                    help="submitter threads (avoids the single-client "
                         "submission limiter seen in the round-2 runs)")
     p.add_argument("--pipeline_depth", type=int, default=1)
+    p.add_argument("--single", type=int, default=0,
+                   help="also measure N sequential single requests (the "
+                        "unloaded service-latency SLO: batching window + "
+                        "padded chain + readback, no queueing)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--timestep_respacing", type=str, default="ddim20")
     p.add_argument("--sampler", type=str, default="dpmpp")
@@ -99,6 +103,23 @@ def main():
     # would otherwise become the p99 and its occupancy-1 batch would
     # understate mean occupancy.
     batcher.reset_stats()
+
+    if args.single:
+        lats = []
+        wav1 = rng.normal(size=n_samples).astype(np.float32)
+        for i in range(args.single):
+            t0 = time.time()
+            out = batcher.generate(wav1, timeout=600.0, speaker=i % 10)
+            lats.append((time.time() - t0) * 1e3)
+            assert np.isfinite(out).all()
+        lats.sort()
+        print(
+            f"single-request latency (n={args.single}, max_batch="
+            f"{args.max_batch}, wait={args.max_wait_ms}ms): "
+            f"p50={lats[len(lats) // 2]:.0f}ms min={lats[0]:.0f}ms "
+            f"max={lats[-1]:.0f}ms"
+        )
+        batcher.reset_stats()
 
     audio = rng.normal(size=(args.burst, n_samples)).astype(np.float32)
     speakers = rng.integers(0, cfg.n_speakers, size=args.burst)
