@@ -40,6 +40,7 @@ __all__ = [
     "GestureRequest",
     "GestureBatcher",
     "build_rag_server",
+    "serving_mesh",
 ]
 
 
@@ -214,6 +215,15 @@ class GestureBatcher:
             raise ServerOverloaded(
                 f"pending queue full ({self.cfg.max_queue}); retry later"
             ) from None
+        if self._stop.is_set():
+            # check-then-act race with close(): the put may have landed
+            # after the worker exited (and possibly after close()'s queue
+            # drain ran), so nothing would ever serve it. Fail it here —
+            # double-failing a request close() also drained is harmless
+            # (error assignment + done.set() are idempotent).
+            req.error = RuntimeError("server is shutting down")
+            req.done.set()
+            raise RuntimeError("server is shutting down")
         return req
 
     def generate(self, audio: np.ndarray, timeout: float = 300.0, **kw) -> np.ndarray:
@@ -367,11 +377,23 @@ class GestureBatcher:
         except queue.Full:
             pass
         self._worker.join(timeout=10)
-        # Worker is done (or timed out) — nothing dispatches anymore; drain
-        # the collector with a sentinel. put() may momentarily block on a
-        # full in-flight queue, which the collector is actively draining;
-        # the timeout covers the pathological case of a dead collector
-        # (close() must never hang).
+        # The worker exits at its next loop check without draining the
+        # pending queue — fail every still-queued request NOW so its waiter
+        # gets a prompt "shutting down" error instead of hanging until the
+        # client's own timeout (SIGTERM drains would otherwise stall every
+        # queued HTTP client for minutes).
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not _SHUTDOWN:
+                req.error = RuntimeError("server is shutting down")
+                req.done.set()
+        # Nothing dispatches anymore; drain the collector with a sentinel.
+        # put() may momentarily block on a full in-flight queue, which the
+        # collector is actively draining; the timeout covers the
+        # pathological case of a dead collector (close() must never hang).
         try:
             self._inflight.put(_SHUTDOWN, timeout=10)
         except queue.Full:
@@ -502,6 +524,24 @@ class GestureBatcher:
             r.done.set()
 
 
+def serving_mesh(cfg: ServeConfig):
+    """The ONE device mesh every server component must share.
+
+    Both the batcher's plain sampler and any attached composition pipeline
+    shard served batches over this mesh — built here (with the
+    divisibility check; every served batch is padded to exactly
+    ``max_batch``) so the two code paths cannot drift."""
+    if cfg.data_parallel <= 1:
+        return None
+    from .parallel import create_mesh
+
+    assert cfg.max_batch % cfg.data_parallel == 0, (
+        f"max_batch {cfg.max_batch} must be a multiple of "
+        f"data_parallel {cfg.data_parallel}"
+    )
+    return create_mesh(n_devices=cfg.data_parallel)
+
+
 def build_rag_server(
     model,
     params,
@@ -511,15 +551,7 @@ def build_rag_server(
 ) -> GestureBatcher:
     """Wire a RAG model + params into a ready-to-serve batcher."""
     cfg = cfg or ServeConfig()
-    mesh = None
-    if cfg.data_parallel > 1:
-        from .parallel import create_mesh
-
-        assert cfg.max_batch % cfg.data_parallel == 0, (
-            f"max_batch {cfg.max_batch} must be a multiple of "
-            f"data_parallel {cfg.data_parallel}"
-        )
-        mesh = create_mesh(n_devices=cfg.data_parallel)
+    mesh = serving_mesh(cfg)
     sampler = RAGSampler(
         model,
         params,

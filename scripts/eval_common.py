@@ -31,6 +31,8 @@ __all__ = [
     "load_tokenizer",
     "build_pipeline",
     "mesh_from_args",
+    "final_npz",
+    "fixture_fgd",
 ]
 
 
@@ -121,3 +123,54 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
                         or 80),  # test_LivelySpeaker_beat.py:232
         mesh=mesh,
     )
+
+
+def final_npz(save_dir, prefix="model"):
+    """Latest ``{prefix}*.npz`` checkpoint in a training save_dir
+    (``prefix="model"`` excludes the ``model_ema*`` exports;
+    ``prefix="model_ema"`` selects them)."""
+    import glob
+
+    paths = sorted(
+        p for p in glob.glob(os.path.join(save_dir, f"{prefix}*.npz"))
+        if "ema" not in os.path.basename(p) or prefix.endswith("ema")
+    )
+    assert paths, f"no {prefix}*.npz in {save_dir}"
+    return paths[-1]
+
+
+def fixture_fgd(model, dataset, model_path, fixture, *, batch_size=64,
+                timestep_respacing="ddim20", guidance=1.0, seed=233):
+    """Sample the whole dataset through a checkpoint and score FGD against
+    a frozen fixture embedder — the shared measurement loop of
+    ``soak_flagship.py`` and ``measure_audio_bf16.py`` (one copy so the
+    sampler setup / loader / reshape cannot drift between them)."""
+    import numpy as np
+
+    from livelyspeaker_tpu.data import DataLoader
+    from livelyspeaker_tpu.pipeline import RAGSampler
+
+    sampler = RAGSampler(
+        model, load_params_npz(model_path), steps=1000,
+        timestep_respacing=timestep_respacing, method="ddim",
+    )
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=False, drop_last=True,
+        seed=seed,
+    )
+    fixture.reset()
+    rng = jax.random.PRNGKey(seed)
+    nf = model.cfg.nframes
+    for batch in loader:
+        b = batch["motion"].shape[0]
+        cond = {
+            "audio": jnp.asarray(batch["audio"]),
+            "vid": jnp.asarray(batch["vid"]),
+            "origin_x": jnp.asarray(batch["motion"]),
+        }
+        rng, srng = jax.random.split(rng)
+        sample = sampler(cond, srng, guidance=guidance)
+        gen = np.asarray(sample).transpose(0, 3, 1, 2).reshape(b, nf, -1)
+        fixture.push_samples(gen, batch["vec_seq"])
+    fgd, _ = fixture.get_scores()
+    return float(fgd)

@@ -103,18 +103,14 @@ def main():
     from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
     _jax_setup()
 
-    import glob
-
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+    from eval_common import final_npz, fixture_fgd
+    from livelyspeaker_tpu.data import TedWindowDataset
     from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
     from livelyspeaker_tpu.models import RAG, RAGConfig
     from livelyspeaker_tpu.models.embedding_net import TedEmbeddingEncoder
-    from livelyspeaker_tpu.pipeline import RAGSampler
-    from livelyspeaker_tpu.training.checkpoints import load_params_npz
 
     dataset = TedWindowDataset(data_dir)
     # Eval ALWAYS runs the f32 model graph: audio_bf16 is a train-time
@@ -127,32 +123,7 @@ def main():
     )
 
     def eval_fgd(save_dir):
-        path = sorted(
-            p for p in glob.glob(os.path.join(save_dir, "model*.npz"))
-            if "ema" not in os.path.basename(p)
-        )[-1]
-        sampler = RAGSampler(
-            model, load_params_npz(path), steps=1000,
-            timestep_respacing="ddim20", method="ddim",
-        )
-        loader = DataLoader(
-            dataset, batch_size=64, shuffle=False, drop_last=True, seed=233,
-        )
-        fixture.reset()
-        rng = jax.random.PRNGKey(233)
-        for batch in loader:
-            b = batch["motion"].shape[0]
-            cond = {
-                "audio": jnp.asarray(batch["audio"]),
-                "vid": jnp.asarray(batch["vid"]),
-                "origin_x": jnp.asarray(batch["motion"]),
-            }
-            rng, srng = jax.random.split(rng)
-            sample = sampler(cond, srng, guidance=1.0)
-            gen = np.asarray(sample).transpose(0, 3, 1, 2).reshape(b, 34, -1)
-            fixture.push_samples(gen, batch["vec_seq"])
-        fgd, _ = fixture.get_scores()
-        return float(fgd)
+        return fixture_fgd(model, dataset, final_npz(save_dir), fixture)
 
     fgd_f32 = eval_fgd(f"{a.out}/f32")
     fgd_bf16 = eval_fgd(f"{a.out}/bf16")

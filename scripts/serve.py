@@ -115,13 +115,18 @@ def make_handler(batcher, reload_token: str = ""):
                 # (shapes/dtypes) as the serving model —
                 # RAGSampler.update_params validates eagerly and a
                 # mismatch is a clean 400, traffic unaffected.
-                if not reload_token:
-                    self._json(403, {"error": "reload disabled: start the "
-                                              "server with --reload_token"})
-                    return
                 try:
+                    # Read the body BEFORE any early response: an unread
+                    # body stays in the socket buffer and desyncs the next
+                    # request on a keep-alive connection.
                     length = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    body = self.rfile.read(length)
+                    if not reload_token:
+                        self._json(
+                            403, {"error": "reload disabled: start the "
+                                           "server with --reload_token"})
+                        return
+                    req = json.loads(body or b"{}")
                     import hmac
 
                     if not hmac.compare_digest(
@@ -155,6 +160,16 @@ def make_handler(batcher, reload_token: str = ""):
                 else:
                     audio = np.asarray(req.get("audio", []), np.float32)
                 t0 = time.monotonic()
+                # Long-form text: forwarded as the sentences track (one
+                # sentence reused for every window, matching the short
+                # path's single-text semantics); flagged when the server
+                # has no composition loaded, like the short path does.
+                long_sentences = (
+                    [str(req["text"])] if req.get("text") else None
+                )
+                long_text_ignored = bool(
+                    req.get("text") and batcher.composition is None
+                )
                 if req.get("long") and req.get("stream"):
                     # Chunked streaming: one JSON line per completed window
                     # ({"window": i, "motion": [...], "frames": K}), so the
@@ -170,6 +185,7 @@ def make_handler(batcher, reload_token: str = ""):
                             float(req["guidance"]) if "guidance" in req
                             else None
                         ),
+                        sentences=long_sentences,
                     )
                     # pull the first window BEFORE committing the status
                     # line: admission rejection must still be a clean 503
@@ -200,11 +216,14 @@ def make_handler(batcher, reload_token: str = ""):
                         for w, chunk in itertools.chain(
                             [first] if first is not None else [], gen
                         ):
-                            write_chunk({
+                            line = {
                                 "window": w,
                                 "frames": int(chunk.shape[-1]),
                                 "motion": chunk.tolist(),
-                            })
+                            }
+                            if w == 0 and long_text_ignored:
+                                line["text_ignored"] = True
+                            write_chunk(line)
                     except Exception as e:  # noqa: BLE001
                         try:
                             write_chunk(
@@ -227,6 +246,7 @@ def make_handler(batcher, reload_token: str = ""):
                             float(req["guidance"]) if "guidance" in req
                             else None
                         ),
+                        sentences=long_sentences,
                     )
                     batch_size = 1
                 else:
@@ -298,7 +318,11 @@ def main():
     args = p.parse_args()
 
     from livelyspeaker_tpu.models import RAG, RAGConfig
-    from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
+    from livelyspeaker_tpu.serving import (
+        ServeConfig,
+        build_rag_server,
+        serving_mesh,
+    )
     from livelyspeaker_tpu.training.checkpoints import load_args, load_params_npz
 
     try:
@@ -318,6 +342,19 @@ def main():
     )
     model = RAG(cfg)
     params = load_params_npz(args.model_path)
+
+    serve_cfg = ServeConfig(
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue,
+        default_guidance=args.guidance,
+        steps=args.steps,
+        timestep_respacing=args.timestep_respacing or None,
+        sampler=args.sampler,
+        use_fused=not args.no_fused,
+        data_parallel=args.data_parallel,
+        pipeline_depth=args.pipeline_depth,
+    )
 
     composition = None
     if args.sag_path:
@@ -356,39 +393,22 @@ def main():
         tok = (
             CLIPTokenizer(args.bpe_path) if args.bpe_path else HashTokenizer()
         )
-        comp_mesh = None
-        if args.data_parallel > 1:
-            # The batcher shards plain batches over the mesh; the
-            # composition must shard the SAME way or text-carrying batches
-            # silently run single-device (every served batch is padded to
-            # max_batch, so divisibility matches the ServeConfig assert).
-            from livelyspeaker_tpu.parallel import create_mesh
-
-            comp_mesh = create_mesh(n_devices=args.data_parallel)
+        # One shared mesh for the batcher's sampler AND the composition
+        # (serving.py: serving_mesh) — text-carrying batches must shard
+        # exactly like plain ones.
         composition = LivelySpeakerPipeline(
             model, params, sag, sag_params, clip_model, clip_params, tok,
             steps=args.steps,
             timestep_respacing=args.timestep_respacing or "ddim100",
             skip_timesteps=args.skip_steps,
-            mesh=comp_mesh,
+            mesh=serving_mesh(serve_cfg),
         )
 
     batcher = build_rag_server(
         model,
         params,
         composition=composition,
-        cfg=ServeConfig(
-            max_batch=args.max_batch,
-            max_wait_ms=args.max_wait_ms,
-            max_queue=args.max_queue,
-            default_guidance=args.guidance,
-            steps=args.steps,
-            timestep_respacing=args.timestep_respacing or None,
-            sampler=args.sampler,
-            use_fused=not args.no_fused,
-            data_parallel=args.data_parallel,
-            pipeline_depth=args.pipeline_depth,
-        ),
+        cfg=serve_cfg,
     )
     # Warm the executable before accepting traffic. First compile of the
     # sampling scan can take minutes on remote-dispatch hosts; don't let the

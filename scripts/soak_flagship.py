@@ -69,15 +69,7 @@ def train_cmd(save_dir, epochs, data_dir, a, resume=False):
     return cmd
 
 
-def final_npz(save_dir, prefix="model"):
-    import glob
-
-    paths = sorted(
-        p for p in glob.glob(os.path.join(save_dir, f"{prefix}*.npz"))
-        if "ema" not in os.path.basename(p) or prefix.endswith("ema")
-    )
-    assert paths, f"no {prefix}*.npz in {save_dir}"
-    return paths[-1]
+from eval_common import final_npz  # noqa: E402 (shared checkpoint glob)
 
 
 def main():
@@ -142,12 +134,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+    from eval_common import fixture_fgd
+    from livelyspeaker_tpu.data import TedWindowDataset
     from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
     from livelyspeaker_tpu.models import RAG, RAGConfig
     from livelyspeaker_tpu.models.embedding_net import TedEmbeddingEncoder
-    from livelyspeaker_tpu.pipeline import RAGSampler
-    from livelyspeaker_tpu.training.checkpoints import load_params_npz
 
     dataset = TedWindowDataset(data_dir)
     cfg = RAGConfig.ted(latent_dim=a.latent_dim, num_layers=a.layers)
@@ -157,33 +148,10 @@ def main():
         enc.init(jax.random.PRNGKey(11), jnp.zeros((1, 34, 27)))["params"]
     )
 
-    def eval_fgd(model_path):
-        params = load_params_npz(model_path)
-        sampler = RAGSampler(
-            model, params, steps=1000, timestep_respacing="ddim20",
-            method="ddim",
-        )
-        loader = DataLoader(
-            dataset, batch_size=64, shuffle=False, drop_last=True, seed=233,
-        )
-        fixture.reset()
-        rng = jax.random.PRNGKey(233)
-        for batch in loader:
-            b = batch["motion"].shape[0]
-            cond = {
-                "audio": jnp.asarray(batch["audio"]),
-                "vid": jnp.asarray(batch["vid"]),
-                "origin_x": jnp.asarray(batch["motion"]),
-            }
-            rng, srng = jax.random.split(rng)
-            sample = sampler(cond, srng, guidance=1.0)
-            gen = np.asarray(sample).transpose(0, 3, 1, 2).reshape(b, 34, -1)
-            fixture.push_samples(gen, batch["vec_seq"])
-        fgd, _ = fixture.get_scores()
-        return float(fgd)
-
-    fgd_raw = eval_fgd(final_npz(full_dir))
-    fgd_ema = eval_fgd(final_npz(full_dir, prefix="model_ema"))
+    fgd_raw = fixture_fgd(model, dataset, final_npz(full_dir), fixture)
+    fgd_ema = fixture_fgd(
+        model, dataset, final_npz(full_dir, prefix="model_ema"), fixture
+    )
 
     print(json.dumps({
         "epochs": a.epochs,

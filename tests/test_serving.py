@@ -134,6 +134,38 @@ def test_submit_after_close_rejected():
         batcher.submit(np.zeros(10, np.float32))
 
 
+def test_close_fails_queued_waiters_promptly():
+    """Requests still in the pending queue when close() runs must receive a
+    prompt 'shutting down' error — not hang until their client timeout."""
+    import time as _t
+
+    batcher, _ = _tiny_server(max_batch=1, max_wait_ms=1.0)
+    try:
+        real = batcher.sampler
+
+        def slow(*a, **k):
+            _t.sleep(0.5)
+            return real(*a, **k)
+
+        slow.model = real.model
+        batcher.sampler = slow
+        reqs = [
+            batcher.submit(np.zeros(10, np.float32)) for _ in range(5)
+        ]
+    finally:
+        t0 = _t.monotonic()
+        batcher.close()
+    for r in reqs:
+        # every waiter resolves promptly: either served (the batch in
+        # flight when close() ran) or failed with the shutdown error
+        try:
+            out = r.wait(timeout=30)
+            assert np.isfinite(out).all()
+        except RuntimeError as e:
+            assert "shutting down" in str(e)
+    assert _t.monotonic() - t0 < 60
+
+
 def test_latency_percentiles_populate():
     batcher, _ = _tiny_server(max_batch=2)
     try:
@@ -473,6 +505,44 @@ def test_http_streaming_long_request():
         m0 = np.asarray(lines[0]["motion"])
         assert m0.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
         assert np.isfinite(m0).all()
+
+        # text on a long request against a composition-less server must be
+        # flagged, not silently dropped (short path already does this)
+        body = json.dumps(
+            {"audio": audio, "long": True, "stream": True, "text": "hi"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+        assert lines[0].get("text_ignored") is True
+
+        body = json.dumps(
+            {"audio": audio, "long": True, "text": "hi"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert out.get("text_ignored") is True
+
+        # /v1/reload 403 (this server has no token) must consume the body:
+        # an unread body desyncs the NEXT request on a keep-alive connection
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        payload = json.dumps({"model_path": "/x.npz"})
+        conn.request("POST", "/v1/reload", body=payload,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 403
+        r1.read()
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()  # would be 400 Bad request syntax pre-fix
+        assert r2.status == 200 and json.loads(r2.read())["ok"] is True
+        conn.close()
     finally:
         srv.shutdown()
         batcher.close()
