@@ -5,6 +5,8 @@ from .mesh import (
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
+    fsdp_param_shardings,
+    fsdp_shard_params,
     param_shardings,
     replicated,
     shard_params,

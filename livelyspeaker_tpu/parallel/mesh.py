@@ -27,6 +27,8 @@ __all__ = [
     "batch_sharding",
     "param_spec",
     "shard_params",
+    "fsdp_param_shardings",
+    "fsdp_shard_params",
     "replicated",
     "shard_map",
 ]
@@ -151,3 +153,58 @@ def param_shardings(params, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     """Place a param tree on the mesh according to the TP rules."""
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+# --- FSDP (ZeRO-style fully-sharded data parallelism) -----------------------
+#
+# Shard every large param leaf over the DATA axis too (on top of any TP rule),
+# so params, grads, Adam moments and the EMA shadow all live 1/|data| per
+# device.  GSPMD then materialises each weight with an all-gather at its use
+# site and reduce-scatters the gradient — the standard JAX FSDP recipe
+# (jax-ml.github.io/scaling-book): a *placement* decision, zero model-code
+# changes.  For this model family (tens of MB) FSDP is about headroom — the
+# same flag keeps memory flat as latent_dim/num_layers scale up.
+
+#: Leaves smaller than this stay replicated: all-gathering a tiny vector per
+#: step costs more (latency-bound ICI messages) than holding |data| copies.
+FSDP_MIN_SIZE = 2**13
+
+
+def fsdp_param_shardings(params, mesh: Mesh, min_size: int = FSDP_MIN_SIZE):
+    """NamedSharding pytree: TP rules + the largest still-free divisible dim
+    of every ``size >= min_size`` leaf sharded over 'data'."""
+    data_size = mesh.shape[DATA_AXIS]
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+
+    def one(path, leaf):
+        spec = list(param_spec(_path_str(path), leaf))
+        spec += [None] * (leaf.ndim - len(spec))
+        for i, name in enumerate(spec):
+            if name == MODEL_AXIS and (
+                i >= leaf.ndim or leaf.shape[i] % model_size
+            ):
+                spec = [None] * leaf.ndim  # TP rule doesn't divide: replicate
+                break
+        if leaf.size >= min_size and data_size > 1:
+            free = [
+                i
+                for i in range(leaf.ndim)
+                if spec[i] is None and leaf.shape[i] % data_size == 0
+                and leaf.shape[i] >= data_size
+            ]
+            if free:
+                spec[max(free, key=lambda i: leaf.shape[i])] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def fsdp_shard_params(params, mesh: Mesh, min_size: int = FSDP_MIN_SIZE):
+    """Place a param tree on the mesh fully-sharded (FSDP + TP rules).
+
+    Everything downstream follows by sharding propagation: ``tx.init`` on
+    these params yields sharded Adam moments, the EMA copy in
+    ``init_train_state`` inherits placement, and the jitted train step keeps
+    the updated state sharded (GSPMD round-trips gather/scatter per step).
+    """
+    return jax.device_put(params, fsdp_param_shardings(params, mesh, min_size))

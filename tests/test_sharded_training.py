@@ -156,3 +156,68 @@ def test_sharded_fused_train_step(rng_np):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(before, after)
     )
+
+
+def test_fsdp_step_matches_replicated_and_is_sharded(rng_np):
+    """FSDP (mesh.py: fsdp_shard_params) is a placement decision: the GSPMD
+    train step over fully-sharded params must reproduce the replicated-param
+    step, while params/opt-state/EMA actually live sharded over 'data'."""
+    from livelyspeaker_tpu.parallel import (
+        DATA_AXIS,
+        batch_sharding,
+        fsdp_param_shardings,
+        fsdp_shard_params,
+    )
+
+    model, sched, tcfg, tx, state, shard = _setup(rng_np, ema_rate=0.999)
+    mesh = create_mesh(model_parallel=2)  # data=4 x model=2
+    batch = _tile(shard, 4)
+
+    # no donation: ref and FSDP states share the initial param buffers
+    step = jax.jit(make_train_step(model, sched, tx, tcfg))
+    key = jax.random.PRNGKey(11)
+
+    ref_state = init_train_state(
+        state.params, tx, cfg=tcfg, num_timesteps=sched.num_timesteps
+    )
+    ref_state, ref_m = step(ref_state, batch, key)
+    ref_state, ref_m2 = step(ref_state, batch, key)
+
+    # min_size=1: at latent 64 the real threshold would leave everything
+    # replicated; force sharding so the test exercises the gather/scatter.
+    f_params = fsdp_shard_params(state.params, mesh, min_size=1)
+    specs = jax.tree.leaves(fsdp_param_shardings(state.params, mesh,
+                                                 min_size=1))
+    assert any(DATA_AXIS in (s.spec or ()) for s in specs), (
+        "FSDP rules sharded nothing over 'data'"
+    )
+    f_state = init_train_state(
+        f_params, tx, cfg=tcfg, num_timesteps=sched.num_timesteps
+    )
+    bs = batch_sharding(mesh)
+    f_batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    f_state, f_m = step(f_state, f_batch, key)
+    f_state, f_m2 = step(f_state, f_batch, key)
+
+    for a, b in ((f_m, ref_m), (f_m2, ref_m2)):
+        assert float(a["loss"]) == pytest.approx(float(b["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(f_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(f_state.ema_params),
+                    jax.tree.leaves(ref_state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # The updated state must STAY fully-sharded (no silent re-replication):
+    # the biggest leaves of params, both Adam moments and the EMA shadow
+    # each carry 'data' in their post-step sharding.
+    def data_sharded(tree):
+        return any(
+            DATA_AXIS in jax.tree.flatten(s.spec)[0]
+            for s in (l.sharding for l in jax.tree.leaves(tree))
+            if s.spec is not None
+        )
+
+    assert data_sharded(f_state.params)
+    assert data_sharded(f_state.ema_params)
+    assert data_sharded(f_state.opt_state)
