@@ -8,6 +8,7 @@ from .mesh import (
     fsdp_param_shardings,
     fsdp_shard_params,
     param_shardings,
+    preserve_state_shardings,
     replicated,
     shard_params,
 )

@@ -29,6 +29,7 @@ __all__ = [
     "shard_params",
     "fsdp_param_shardings",
     "fsdp_shard_params",
+    "preserve_state_shardings",
     "replicated",
     "shard_map",
 ]
@@ -202,9 +203,36 @@ def fsdp_param_shardings(params, mesh: Mesh, min_size: int = FSDP_MIN_SIZE):
 def fsdp_shard_params(params, mesh: Mesh, min_size: int = FSDP_MIN_SIZE):
     """Place a param tree on the mesh fully-sharded (FSDP + TP rules).
 
-    Everything downstream follows by sharding propagation: ``tx.init`` on
-    these params yields sharded Adam moments, the EMA copy in
-    ``init_train_state`` inherits placement, and the jitted train step keeps
-    the updated state sharded (GSPMD round-trips gather/scatter per step).
+    ``tx.init`` on these params yields sharded Adam moments and the EMA copy
+    in ``init_train_state`` inherits placement (eager ops preserve input
+    shardings).  The jitted train step must pin its OUTPUT state to the same
+    placement (``preserve_state_shardings``): left unconstrained, GSPMD's
+    propagation pass is free to pick replicated outputs — the all-gathers at
+    the weights' use sites make that the locally cheapest choice — which
+    silently re-replicates the state after one step.
     """
     return jax.device_put(params, fsdp_param_shardings(params, mesh, min_size))
+
+
+def preserve_state_shardings(step_fn, state):
+    """Wrap a ``(state, batch, key) -> (state, metrics)`` step so the output
+    state is sharding-constrained to the (concrete) input ``state``'s
+    placement.  This is what makes FSDP stick across steps; for replicated
+    or TP-sharded states it pins the status quo.  Jit the result with
+    ``donate_argnums=0`` for perfect in-place aliasing."""
+    shardings = jax.tree.map(lambda l: l.sharding, state)
+
+    def _pin(x, s):
+        # Scalar counters etc. may carry SingleDeviceSharding from eager
+        # init; constraining those to one device conflicts with the mesh —
+        # only mesh placements are pinned.
+        return jax.lax.with_sharding_constraint(x, s) if isinstance(
+            s, NamedSharding
+        ) else x
+
+    def wrapped(st, batch, key):
+        new_state, metrics = step_fn(st, batch, key)
+        new_state = jax.tree.map(_pin, new_state, shardings)
+        return new_state, metrics
+
+    return wrapped

@@ -80,9 +80,22 @@ class TrainLoop:
                 raise ValueError("use_shard_map=True requires a mesh")
             self.step_fn = shard_train_step(model, sched, tx, self.cfg, mesh)
         else:
-            self.step_fn = jax.jit(
-                make_train_step(model, sched, tx, self.cfg), donate_argnums=0
-            )
+            step = make_train_step(model, sched, tx, self.cfg)
+            # Mesh-sharded params (TP and/or FSDP placement from
+            # train_rag.py): pin the output state to the input placement —
+            # unconstrained, GSPMD propagation may re-replicate an
+            # FSDP-sharded state after one step (parallel/mesh.py).
+            from jax.sharding import NamedSharding
+
+            if any(
+                isinstance(l.sharding, NamedSharding)
+                and tuple(l.sharding.spec)
+                for l in jax.tree.leaves(self.state.params)
+            ):
+                from ..parallel.mesh import preserve_state_shardings
+
+                step = preserve_state_shardings(step, self.state)
+            self.step_fn = jax.jit(step, donate_argnums=0)
         self.ckpt = CheckpointManager(save_dir) if save_dir else None
         self.start_step = 0
         if save_dir and args_to_save is not None:

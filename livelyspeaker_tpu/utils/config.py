@@ -86,6 +86,13 @@ def add_training_options(p: argparse.ArgumentParser):
                    help="bf16 activations for the HBM-bound WavEncoder conv "
                         "stack (params/features stay f32; the VPU-bound "
                         "mixer is unaffected — models/audio_encoder.py)")
+    g.add_argument("--fsdp", action="store_true",
+                   help="fully-shard params/opt-state/EMA over the 'data' "
+                        "axis on top of the TP rules (ZeRO-style; "
+                        "parallel/mesh.py: fsdp_shard_params). GSPMD "
+                        "gathers weights at use sites and reduce-scatters "
+                        "grads; incompatible with --fused_train on meshes "
+                        "(the shard_map DP step needs replicated params)")
     g.add_argument("--device_resident", type=int, default=0,
                    help="1: stage the whole dataset in device HBM once and "
                         "gather batches by index (per-step host traffic "

@@ -26,7 +26,12 @@ import numpy as np
 from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
 from livelyspeaker_tpu.diffusion import DiffusionSchedule
 from livelyspeaker_tpu.models import RAG, RAGConfig
-from livelyspeaker_tpu.parallel import batch_sharding, create_mesh, shard_params
+from livelyspeaker_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    fsdp_shard_params,
+    shard_params,
+)
 from livelyspeaker_tpu.training import TrainConfig
 from livelyspeaker_tpu.training.loop import TrainLoop
 from livelyspeaker_tpu.utils.config import train_args
@@ -67,6 +72,12 @@ def main():
     # grads, per-shard RNG streams.
     use_shard_map_dp = bool(getattr(args, "fused_train", False)
                             and mesh.size > 1)
+    if getattr(args, "fsdp", False) and use_shard_map_dp:
+        raise SystemExit(
+            "--fsdp needs the GSPMD train step (params gathered at use "
+            "sites), but --fused_train on a multi-device mesh runs the "
+            "explicit shard_map DP step over replicated params; drop one."
+        )
     # training consumes 3-4 of the 7-8 record fields; skipping the
     # eval-only tracks roughly doubles assembly throughput on 1-core hosts
     train_fields = (
@@ -132,7 +143,12 @@ def main():
         init_cond,
         train=True,
     )["params"]
-    params = shard_params(params, mesh)
+    if getattr(args, "fsdp", False):
+        # ZeRO-style: params (and, by sharding propagation, Adam moments +
+        # the EMA shadow) live 1/|data| per device on top of the TP rules.
+        params = fsdp_shard_params(params, mesh)
+    else:
+        params = shard_params(params, mesh)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"Total params: {n_params / 1e6:.2f}M")
 

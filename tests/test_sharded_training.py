@@ -167,12 +167,25 @@ def test_fsdp_step_matches_replicated_and_is_sharded(rng_np):
         batch_sharding,
         fsdp_param_shardings,
         fsdp_shard_params,
+        preserve_state_shardings,
     )
 
-    model, sched, tcfg, tx, state, shard = _setup(rng_np, ema_rate=0.999)
+    model, sched, tcfg, _, state, shard = _setup(rng_np, ema_rate=0.999)
     mesh = create_mesh(model_parallel=2)  # data=4 x model=2
     batch = _tile(shard, 4)
 
+    # SGD+momentum, not AdamW: the WavEncoder conv biases feed InstanceNorm,
+    # so their true gradient is exactly 0 and what autodiff returns is f32
+    # reduction-order noise (~1e-8) that *changes with placement*; Adam
+    # normalises any nonzero grad to a ±lr step, amplifying that noise into
+    # sign-flipping 1e-3 param deltas.  Under SGD the param delta is
+    # lr*grad, so placement-invariance is testable at tight tolerance.
+    # (Loss parity below is unaffected either way — the biases are
+    # norm-invariant.)  Momentum gives the opt state a param-shaped leaf
+    # whose sharding propagation we assert at the end.
+    import optax
+
+    tx = optax.sgd(1e-3, momentum=0.9)
     # no donation: ref and FSDP states share the initial param buffers
     step = jax.jit(make_train_step(model, sched, tx, tcfg))
     key = jax.random.PRNGKey(11)
@@ -194,10 +207,18 @@ def test_fsdp_step_matches_replicated_and_is_sharded(rng_np):
     f_state = init_train_state(
         f_params, tx, cfg=tcfg, num_timesteps=sched.num_timesteps
     )
+    # Pin the output state to the input placement: unconstrained, GSPMD
+    # propagation re-replicates the state after one step (the all-gathers
+    # at the weights' use sites make replicated outputs locally cheapest).
+    f_step = jax.jit(
+        preserve_state_shardings(
+            make_train_step(model, sched, tx, tcfg), f_state
+        )
+    )
     bs = batch_sharding(mesh)
     f_batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
-    f_state, f_m = step(f_state, f_batch, key)
-    f_state, f_m2 = step(f_state, f_batch, key)
+    f_state, f_m = f_step(f_state, f_batch, key)
+    f_state, f_m2 = f_step(f_state, f_batch, key)
 
     for a, b in ((f_m, ref_m), (f_m2, ref_m2)):
         assert float(a["loss"]) == pytest.approx(float(b["loss"]), rel=1e-5)
@@ -211,13 +232,59 @@ def test_fsdp_step_matches_replicated_and_is_sharded(rng_np):
     # The updated state must STAY fully-sharded (no silent re-replication):
     # the biggest leaves of params, both Adam moments and the EMA shadow
     # each carry 'data' in their post-step sharding.
+    def spec_axes(spec):
+        # PartitionSpec is a pytree LEAF — iterate its entries (each a mesh
+        # axis name, None, or a tuple of names) rather than tree-flatten it.
+        for e in spec or ():
+            yield from (e if isinstance(e, (tuple, list)) else (e,))
+
     def data_sharded(tree):
         return any(
-            DATA_AXIS in jax.tree.flatten(s.spec)[0]
-            for s in (l.sharding for l in jax.tree.leaves(tree))
-            if s.spec is not None
+            DATA_AXIS in spec_axes(getattr(l.sharding, "spec", None))
+            for l in jax.tree.leaves(tree)
         )
 
     assert data_sharded(f_state.params)
     assert data_sharded(f_state.ema_params)
     assert data_sharded(f_state.opt_state)
+
+
+def test_trainloop_autopins_fsdp_placement(rng_np):
+    """train_rag.py hands TrainLoop FSDP-placed params; the loop must detect
+    the non-trivial NamedSharding, wrap its jitted step with
+    preserve_state_shardings, and finish run_loop with params + EMA still
+    sharded over 'data' (loop.py) — including through its private
+    jnp.array param copy."""
+    from livelyspeaker_tpu.parallel import DATA_AXIS, fsdp_shard_params
+    from livelyspeaker_tpu.training.loop import TrainLoop
+
+    model, sched, tcfg, tx, state, shard = _setup(rng_np)
+    mesh = create_mesh()
+    f_params = fsdp_shard_params(state.params, mesh, min_size=1)
+    batch = _tile(shard, N_DEV)
+
+    loop = TrainLoop(
+        model,
+        sched,
+        f_params,
+        [batch, batch],
+        cfg=TrainConfig(lr=1e-3, ema_rate=0.99),
+        num_epochs=1,
+        log_interval=1,
+        save_after_epoch=-1,
+    )
+    loop.run_loop()
+    assert loop.step == 2
+
+    def data_sharded(tree):
+        def axes(spec):
+            for e in spec or ():
+                yield from (e if isinstance(e, (tuple, list)) else (e,))
+
+        return any(
+            DATA_AXIS in axes(getattr(l.sharding, "spec", None))
+            for l in jax.tree.leaves(tree)
+        )
+
+    assert data_sharded(loop.state.params), "run_loop re-replicated params"
+    assert data_sharded(loop.state.ema_params), "run_loop re-replicated EMA"
