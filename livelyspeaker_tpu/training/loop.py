@@ -103,7 +103,7 @@ class TrainLoop:
         if resume and self.ckpt is not None:
             restored, step = self.ckpt.restore(self.state)
             if restored is not None:
-                self.state = restored
+                self.state = self._recommit_scalars(restored)
                 self.start_step = step
                 print(f"resumed from step {step}")
         # Host-side step mirror: the hot loop must never read
@@ -111,6 +111,33 @@ class TrainLoop:
         # step and serializes dispatches, adding the full ~25-30 ms host
         # dispatch latency to every step on remote-dispatch hosts).
         self.host_step = self.start_step
+
+    def _recommit_scalars(self, state):
+        """Orbax commits every restored leaf to its template placement.
+        Eager-created scalars (``state.step``, sampler counters) were
+        single-device in the template, so they come back COMMITTED to
+        device 0 — and jit refuses to mix that with params committed to a
+        mesh (FSDP/TP resume).  Recommit such leaves replicated over the
+        params' mesh; single-device training is returned unchanged."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = next(
+            (
+                l.sharding.mesh
+                for l in jax.tree.leaves(state.params)
+                if isinstance(getattr(l, "sharding", None), NamedSharding)
+            ),
+            None,
+        )
+        if mesh is None or mesh.size == 1:
+            return state
+        rep = NamedSharding(mesh, PartitionSpec())
+        return jax.tree.map(
+            lambda x: x
+            if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else jax.device_put(x, rep),
+            state,
+        )
 
     @property
     def step(self) -> int:

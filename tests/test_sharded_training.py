@@ -288,3 +288,61 @@ def test_trainloop_autopins_fsdp_placement(rng_np):
 
     assert data_sharded(loop.state.params), "run_loop re-replicated params"
     assert data_sharded(loop.state.ema_params), "run_loop re-replicated EMA"
+
+
+def test_fsdp_resume_is_bit_exact_and_stays_sharded(tmp_path, rng_np):
+    """Kill-and-resume under FSDP: orbax restores into the TrainLoop's state
+    template, whose leaves carry the FSDP NamedShardings — so the resumed
+    run must (a) come back data-sharded, and (b) replay the uninterrupted
+    trajectory bit-exactly (same fold_in(base, step) key stream)."""
+    from livelyspeaker_tpu.parallel import DATA_AXIS, fsdp_shard_params
+    from livelyspeaker_tpu.training.loop import TrainLoop
+
+    model, sched, tcfg, tx, state, shard = _setup(rng_np)
+    mesh = create_mesh()
+    f_params = fsdp_shard_params(state.params, mesh, min_size=1)
+    batches = [_tile(shard, N_DEV), _tile(shard, N_DEV)]
+
+    def mk(save_dir, epochs, resume=False):
+        return TrainLoop(
+            model,
+            sched,
+            f_params,
+            batches,
+            cfg=TrainConfig(lr=1e-3, ema_rate=0.99),
+            save_dir=save_dir,
+            num_epochs=epochs,
+            log_interval=1000,
+            save_after_epoch=-1,
+            save_every_epochs=1,
+            seed=7,
+            resume=resume,
+        )
+
+    full = mk(str(tmp_path / "full"), 2).run_loop()
+    mk(str(tmp_path / "split"), 1).run_loop()
+    resumed_loop = mk(str(tmp_path / "split"), 2, resume=True)
+    assert resumed_loop.start_step == 2
+    resumed = resumed_loop.run_loop()
+
+    assert int(resumed.step) == int(full.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        full.params,
+        resumed.params,
+    )
+
+    def data_sharded(tree):
+        def axes(spec):
+            for e in spec or ():
+                yield from (e if isinstance(e, (tuple, list)) else (e,))
+
+        return any(
+            DATA_AXIS in axes(getattr(l.sharding, "spec", None))
+            for l in jax.tree.leaves(tree)
+        )
+
+    assert data_sharded(resumed.params), "restore dropped the FSDP placement"
+    assert data_sharded(resumed.ema_params)
