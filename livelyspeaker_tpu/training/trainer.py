@@ -48,6 +48,7 @@ class TrainConfig:
         grad_clip: float = 0.0,
         schedule_sampler: str = "uniform",
         ema_rate: float = 0.0,
+        ema_warmup: bool = False,
         compute_dtype: str = "float32",
     ):
         self.lr = lr
@@ -62,6 +63,13 @@ class TrainConfig:
         # 0.0 = off (the reference's TrainLoop never wires its own EMA either,
         # but guided-diffusion lineage uses 0.9999).
         self.ema_rate = ema_rate
+        # Warmed-up decay min(rate, (1+step)/(10+step)) (the classic
+        # tf.train.ExponentialMovingAverage num_updates rule): the shadow
+        # starts by tracking the params and only asymptotically reaches
+        # ema_rate, removing the r^N init weight that dominates short runs
+        # (DESIGN.md §13: at rate 0.999 a 1500-step EMA is still 22% random
+        # init). Off by default — the plain rule is the reference semantics.
+        self.ema_warmup = ema_warmup
         # TPU-native mixed precision: bf16 compute against f32 master params
         # (replaces the reference's fp16 MixedPrecisionTrainer + dynamic loss
         # scaling, fp16_util.py:148-232 — bf16 needs no loss scaling).
@@ -280,8 +288,15 @@ def make_train_step(
 
         new_ema = state.ema_params
         if cfg.ema_rate > 0 and state.ema_params is not None:
+            rate = cfg.ema_rate
+            if cfg.ema_warmup:
+                # state.step counts completed steps, so the first update
+                # (step=0) uses decay 0.1 — the shadow locks onto the params
+                # immediately instead of clinging to the init copy.
+                n = state.step.astype(jnp.float32)
+                rate = jnp.minimum(rate, (1.0 + n) / (10.0 + n))
             # new_params is already NaN-guarded, so the EMA stays clean.
-            new_ema = ema_update(state.ema_params, new_params, cfg.ema_rate)
+            new_ema = ema_update(state.ema_params, new_params, rate)
 
         metrics = {
             "loss": loss,

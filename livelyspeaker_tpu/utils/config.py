@@ -76,6 +76,10 @@ def add_training_options(p: argparse.ArgumentParser):
     g.add_argument("--ema_rate", type=float, default=0.0,
                    help="EMA decay for shadow params; 0 disables "
                         "(diffusion/nn.py:56-66)")
+    g.add_argument("--ema_warmup", action="store_true",
+                   help="warm the EMA decay in as min(rate, (1+t)/(10+t)) "
+                        "so the shadow is useful on short runs too "
+                        "(removes the r^N init weight, DESIGN.md §13)")
     g.add_argument("--fused_train", action="store_true",
                    help="run the mixer backbone through the fused Pallas "
                         "kernel with its hand-written backward "

@@ -60,6 +60,8 @@ def train_cmd(save_dir, epochs, data_dir, a, resume=False):
         "--device_resident", "1",
         "--seed", "233",
     ]
+    if a.ema_warmup:
+        cmd.append("--ema_warmup")
     if a.fused_train:
         cmd.append("--fused_train")
     if a.audio_bf16:
@@ -82,6 +84,9 @@ def main():
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--n_clips", type=int, default=40)
     p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--ema_warmup", action="store_true",
+                   help="warmed-up EMA decay (trainer.py; fixes the "
+                        "EMA-horizon pitfall of DESIGN.md §13)")
     p.add_argument("--fused_train", action="store_true",
                    help="soak the production fast path: fused custom-VJP "
                         "backbone (resume bit-exactness must hold there too)")

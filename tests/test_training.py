@@ -169,6 +169,39 @@ def test_ema_params_maintained(rng_np):
     )
 
 
+def test_ema_warmup_tracks_params_on_short_runs(rng_np):
+    """With ema_warmup the shadow locks onto the params within a few steps
+    instead of keeping r^N weight on the init copy (DESIGN.md §13: at rate
+    0.999 a 1500-step plain EMA is still 22% random init)."""
+    state_w, step_w, batch = _setup(rng_np, ema_rate=0.999, ema_warmup=True)
+    state_p, step_p, _ = _setup(rng_np, ema_rate=0.999)
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        state_w, _ = step_w(state_w, batch, jax.random.fold_in(key, i))
+        state_p, _ = step_p(state_p, batch, jax.random.fold_in(key, i))
+
+    def rel_gap(state):
+        num = sum(
+            float(jnp.sum(jnp.abs(e - p)))
+            for e, p in zip(
+                jax.tree.leaves(state.ema_params),
+                jax.tree.leaves(state.params),
+            )
+        )
+        den = sum(
+            float(jnp.sum(jnp.abs(p))) for p in jax.tree.leaves(state.params)
+        )
+        return num / den
+
+    gap_w, gap_p = rel_gap(state_w), rel_gap(state_p)
+    # Identical trajectories (same keys/batches), so the only difference is
+    # the decay schedule: warmup must sit far closer to the live params.
+    assert gap_w < 0.2 * gap_p, (gap_w, gap_p)
+    # And the warmup decay at step k is min(0.999, (1+k)/(10+k)), so after 5
+    # steps the shadow is still a genuine average, not a raw copy.
+    assert gap_w > 0.0
+
+
 def test_trainloop_ema_export_and_quartile_logging(tmp_path, rng_np):
     """End-to-end: TrainLoop writes model_ema*.npz and loss_q* keys."""
     import json
