@@ -75,11 +75,14 @@ def add_training_options(p: argparse.ArgumentParser):
                    help="timestep sampler (resample.py:8-58)")
     g.add_argument("--ema_rate", type=float, default=0.0,
                    help="EMA decay for shadow params; 0 disables "
-                        "(diffusion/nn.py:56-66)")
+                        "(diffusion/nn.py:56-66). RAG trainer only; "
+                        "train_sag.py / train_gesture_autoencoder.py "
+                        "reject non-default values")
     g.add_argument("--ema_warmup", action="store_true",
                    help="warm the EMA decay in as min(rate, (1+t)/(10+t)) "
                         "so the shadow is useful on short runs too "
-                        "(removes the r^N init weight, DESIGN.md §13)")
+                        "(removes the r^N init weight, DESIGN.md §13). "
+                        "RAG trainer only")
     g.add_argument("--fused_train", action="store_true",
                    help="run the mixer backbone through the fused Pallas "
                         "kernel with its hand-written backward "

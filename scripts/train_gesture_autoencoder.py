@@ -33,7 +33,11 @@ def parse_args():
     add_all_groups(p, training=True)
     g = p.add_argument_group("autoencoder")
     g.add_argument("--base", type=int, default=32)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.ema_rate or args.ema_warmup:
+        p.error("--ema_rate/--ema_warmup apply to the RAG trainer only; "
+                "this loop keeps no EMA shadow")
+    return args
 
 
 def main():

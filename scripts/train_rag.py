@@ -159,7 +159,7 @@ def main():
         lambda_vel=args.lambda_vel,
         schedule_sampler=args.schedule_sampler,
         ema_rate=args.ema_rate,
-        ema_warmup=getattr(args, "ema_warmup", False),
+        ema_warmup=args.ema_warmup,
         kld_weight=0.0 if args.dataset == "beat" else 0.01,
     )
     loop = TrainLoop(

@@ -52,7 +52,11 @@ def parse_args():
                    help="epochs between in-training FGD evaluations with "
                         "the frozen evaluator (SAG_trainer.py:153-163,"
                         "218-235); 0 disables")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.ema_rate or args.ema_warmup:
+        p.error("--ema_rate/--ema_warmup apply to the RAG trainer only; "
+                "this loop keeps no EMA shadow")
+    return args
 
 
 def main():

@@ -1,6 +1,8 @@
 """Tests for the long-tail components: calc_bpd_loop, EMA, YAML config,
 BVH FK, AverageMeter, motion augmentation utils."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -224,3 +226,46 @@ def test_clearml_platform_needs_optional_dep(tmp_path):
     except ImportError:
         with _pytest.raises(ImportError):
             ClearmlPlatform(str(tmp_path))
+
+
+def test_fasttext_vec_export_roundtrip(tmp_path):
+    """export_fasttext_npz .vec path -> Vocab.load_word_vectors_npz
+    (the offline replacement for vocab.py:70-84's live fastText load)."""
+    import subprocess
+    import sys
+
+    from livelyspeaker_tpu.data.vocab import Vocab
+
+    dim = 4
+    vecs = {"hello": [0.1, 0.2, 0.3, 0.4], "world": [1.0, -1.0, 0.5, 0.0]}
+    vec_path = tmp_path / "toy.vec"
+    with open(vec_path, "w") as f:
+        f.write(f"{len(vecs)} {dim}\n")
+        for w, v in vecs.items():
+            f.write(w + " " + " ".join(str(x) for x in v) + "\n")
+    out = tmp_path / "toy.npz"
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "export_fasttext_npz.py"
+    )
+    subprocess.run(
+        [sys.executable, script, str(vec_path), str(out), "--dim", str(dim)],
+        check=True,
+    )
+
+    vocab = Vocab("toy")
+    for w in ["hello", "world", "unseen"]:
+        vocab.index_word(w)
+    vocab.load_word_vectors_npz(str(out), dim)
+    np.testing.assert_allclose(
+        vocab.word_embedding_weights[vocab.word2index["hello"]],
+        np.asarray(vecs["hello"], np.float32),
+    )
+    np.testing.assert_allclose(
+        vocab.word_embedding_weights[vocab.word2index["world"]],
+        np.asarray(vecs["world"], np.float32),
+    )
+    # OOV word keeps the seeded random init (reference behaviour for words
+    # absent from the model)
+    assert vocab.word_embedding_weights[vocab.word2index["unseen"]].shape == (
+        dim,
+    )

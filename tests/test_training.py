@@ -177,6 +177,7 @@ def test_ema_warmup_tracks_params_on_short_runs(rng_np):
     state_p, step_p, _ = _setup(rng_np, ema_rate=0.999)
     key = jax.random.PRNGKey(0)
     for i in range(5):
+        prev_w = state_w
         state_w, _ = step_w(state_w, batch, jax.random.fold_in(key, i))
         state_p, _ = step_p(state_p, batch, jax.random.fold_in(key, i))
 
@@ -197,9 +198,22 @@ def test_ema_warmup_tracks_params_on_short_runs(rng_np):
     # Identical trajectories (same keys/batches), so the only difference is
     # the decay schedule: warmup must sit far closer to the live params.
     assert gap_w < 0.2 * gap_p, (gap_w, gap_p)
-    # And the warmup decay at step k is min(0.999, (1+k)/(10+k)), so after 5
-    # steps the shadow is still a genuine average, not a raw copy.
-    assert gap_w > 0.0
+    # The warmup decay at completed-step count k is min(0.999, (1+k)/(10+k)),
+    # so the 5th update (k=4) must satisfy the recurrence exactly:
+    # ema_5 = d*ema_4 + (1-d)*p_5 with d = 5/14 — the shadow is a genuine
+    # average with the scheduled decay, not a raw copy.
+    d = 5.0 / 14.0
+    for e5, e4, p5 in zip(
+        jax.tree.leaves(state_w.ema_params),
+        jax.tree.leaves(prev_w.ema_params),
+        jax.tree.leaves(state_w.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e5),
+            d * np.asarray(e4) + (1.0 - d) * np.asarray(p5),
+            rtol=1e-5,
+            atol=1e-6,
+        )
 
 
 def test_trainloop_ema_export_and_quartile_logging(tmp_path, rng_np):
