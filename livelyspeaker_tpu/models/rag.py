@@ -27,7 +27,7 @@ Differences by design (not bugs):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -181,6 +181,7 @@ class RAG(nn.Module):
         *,
         train: bool = False,
         audio_feats: Optional[jnp.ndarray] = None,
+        backbone_apply: Optional[Callable] = None,
     ) -> Dict[str, jnp.ndarray]:
         """
         x: [B, njoints, nfeats, T] — x_t.
@@ -188,6 +189,12 @@ class RAG(nn.Module):
         cond: 'audio' [B, L] (or pass audio_feats), 'vid' [B] int speaker ids,
               'origin_x' [B, njoints, nfeats, T] seed motion,
               optional 'emo' [B] int, optional 'cond_drop' [B] (1 = uncond).
+        backbone_apply: optional (h [B,S,D], t [B]) -> [B,S,D] override for
+              the mixer stack — the hook the pipeline-parallel trainer uses
+              to route the backbone through parallel.pipeline.pipeline_forward
+              while every other submodule runs normally.  The override sees
+              the same inputs as ``self.backbone`` and must be numerically
+              equivalent to it.
         """
         c = self.cfg
         b, nj, nf, nt = x.shape
@@ -233,7 +240,10 @@ class RAG(nn.Module):
             prefix.append(self.emotion_embedding(cond["emo"])[:, None])
         h = jnp.concatenate(prefix + [h], axis=1)  # [B, S, D]
 
-        h = self.backbone(h, t)[:, c.n_prefix :]  # [B, T, D]
+        if backbone_apply is not None:
+            h = backbone_apply(h, t)[:, c.n_prefix :]  # [B, T, D]
+        else:
+            h = self.backbone(h, t)[:, c.n_prefix :]  # [B, T, D]
         out = self.pose_final(h)  # [B, T, IF]
         out = out.transpose(0, 2, 1).reshape(b, nj, nf, nt)
 

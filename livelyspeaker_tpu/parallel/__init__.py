@@ -17,6 +17,7 @@ from .training import shard_train_step
 from .pipeline import (
     STAGE_AXIS,
     create_pipeline_mesh,
+    make_pipeline_backbone_factory,
     pipeline_forward,
     pipeline_spec,
     stack_block_params,

@@ -43,6 +43,7 @@ __all__ = [
     "stack_block_params",
     "pipeline_spec",
     "pipeline_forward",
+    "make_pipeline_backbone_factory",
 ]
 
 STAGE_AXIS = "stage"
@@ -236,3 +237,52 @@ def pipeline_forward(
         out_specs=P(dspec),
         check_vma=False,
     )(stacked, x, emb)
+
+
+def make_pipeline_backbone_factory(
+    model_cfg,
+    mesh: Mesh,
+    *,
+    num_microbatches: Optional[int] = None,
+):
+    """Build the ``backbone_factory`` hook for
+    :func:`~livelyspeaker_tpu.training.trainer.make_train_step`.
+
+    Given the live param tree, the returned factory produces a
+    ``backbone_apply(h, t)`` closure that (a) computes the timestep
+    embedding from the canonical ``backbone/embed_timestep`` params,
+    (b) stacks the per-block params layer-major, and (c) runs the stack
+    GPipe-style over ``mesh``'s 'stage' axis via :func:`pipeline_forward`.
+    The stacking is differentiable, so gradients land back on the
+    canonical per-block tree and the optimizer/checkpoint layout is
+    unchanged — pipeline parallelism stays a pure placement decision.
+    """
+    from livelyspeaker_tpu.models.mlp_backbone import TimestepEmbedder
+
+    assert STAGE_AXIS in mesh.shape, f"mesh has no '{STAGE_AXIS}' axis: {mesh}"
+    assert model_cfg.num_layers % mesh.shape[STAGE_AXIS] == 0, (
+        f"layers {model_cfg.num_layers} not divisible by "
+        f"{mesh.shape[STAGE_AXIS]} stages"
+    )
+    embedder = TimestepEmbedder(model_cfg.latent_dim)
+
+    def factory(params):
+        bb = params["backbone"]
+        stacked = stack_block_params(bb, model_cfg.num_layers)
+
+        def backbone_apply(h, t):
+            emb = embedder.apply(
+                {"params": bb["embed_timestep"]}, t
+            )  # [B, 1, D]
+            return pipeline_forward(
+                stacked,
+                h,
+                emb,
+                mesh,
+                num_microbatches=num_microbatches,
+                act=model_cfg.mlpact,
+            )
+
+        return backbone_apply
+
+    return factory

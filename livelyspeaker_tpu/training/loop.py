@@ -48,6 +48,7 @@ class TrainLoop:
         resume: bool = False,
         mesh=None,
         use_shard_map: bool = False,
+        backbone_factory=None,
     ):
         self.model = model
         self.sched = sched
@@ -78,9 +79,17 @@ class TrainLoop:
 
             if mesh is None:
                 raise ValueError("use_shard_map=True requires a mesh")
+            if backbone_factory is not None:
+                raise ValueError(
+                    "backbone_factory (pipeline parallelism) and "
+                    "use_shard_map (fused-kernel DP) are separate mesh "
+                    "programs; drop one"
+                )
             self.step_fn = shard_train_step(model, sched, tx, self.cfg, mesh)
         else:
-            step = make_train_step(model, sched, tx, self.cfg)
+            step = make_train_step(
+                model, sched, tx, self.cfg, backbone_factory=backbone_factory
+            )
             # Mesh-sharded params (TP and/or FSDP placement from
             # train_rag.py): pin the output state to the input placement —
             # unconstrained, GSPMD propagation may re-replicate an

@@ -141,12 +141,19 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
     axis_name: "str | None" = None,
+    backbone_factory: "Callable | None" = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the pure train step.
 
     batch: {'motion': [B,J,F,T], 'audio': [B,L], 'vid': [B],
             'mask'?: [B,T], 'emo'?: [B]}
+
+    ``backbone_factory`` (params -> backbone_apply) routes the mixer stack
+    through an alternative forward built from the live params — the
+    pipeline-parallel path (parallel.pipeline.make_pipeline_backbone_factory)
+    plugs in here; gradients flow through the factory's stacking back to the
+    canonical per-block param tree.
 
     ``axis_name`` switches on explicit data-parallel collectives for use
     inside ``shard_map`` (parallel.shard_train_step): the step then sees
@@ -181,6 +188,10 @@ def make_train_step(
         else:
             apply_params = params
 
+        backbone_apply = (
+            backbone_factory(apply_params) if backbone_factory else None
+        )
+
         def model_fn(x_t, t_model):
             out = model.apply(
                 {"params": apply_params},
@@ -189,6 +200,7 @@ def make_train_step(
                 cond,
                 train=True,
                 rngs={"style": rng_style, "cond_mask": rng_mask},
+                backbone_apply=backbone_apply,
             )
             return {k: v.astype(jnp.float32) for k, v in out.items()}
 

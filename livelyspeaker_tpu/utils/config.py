@@ -93,6 +93,11 @@ def add_training_options(p: argparse.ArgumentParser):
                    help="bf16 activations for the HBM-bound WavEncoder conv "
                         "stack (params/features stay f32; the VPU-bound "
                         "mixer is unaffected — models/audio_encoder.py)")
+    g.add_argument("--pipeline_parallel", type=int, default=0,
+                   help="GPipe stages for the mixer stack over a "
+                        "('data','stage') mesh (parallel/pipeline.py); "
+                        "layers must divide evenly. RAG trainer only; "
+                        "plain-DP composition (no --fused_train/--fsdp)")
     g.add_argument("--fsdp", action="store_true",
                    help="fully-shard params/opt-state/EMA over the 'data' "
                         "axis on top of the TP rules (ZeRO-style; "

@@ -64,6 +64,16 @@ def manifest(sd, strip=()):
 
 
 def main():
+    import argparse
+
+    global REFERENCE
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--reference", default=REFERENCE,
+                    help="reference tree to instantiate (default "
+                         "$REFERENCE_DIR or /root/reference)")
+    args = ap.parse_args()
+    REFERENCE = args.reference
+
     # The reference imports the `clip` pip package at module scope
     # (model/RAG.py:5, model/motionclip.py:5); it is absent here and unneeded
     # for state_dict surfaces (only get_clip() touches it) — stub it.

@@ -65,7 +65,30 @@ def main():
         n_speakers = max(args.n_speakers, dataset.speaker_model.n_words
                          if dataset.speaker_model else 0)
 
-    mesh = create_mesh()  # all available devices, pure DP by default
+    pp = args.pipeline_parallel
+    if pp > 1:
+        # ('data', 'stage') mesh: DP over data rows, GPipe stages over the
+        # mixer stack (parallel/pipeline.py).  Params stay in the canonical
+        # per-block layout (replicated); the train step routes the backbone
+        # through pipeline_forward via the backbone_factory hook, so
+        # checkpoints/optimizer state are identical to the plain path.
+        if args.fused_train or args.fsdp:
+            raise SystemExit(
+                "--pipeline_parallel composes with plain DP only; drop "
+                "--fused_train/--fsdp (the fused kernel is single-chip and "
+                "FSDP's gathered-weight layout conflicts with the staged "
+                "stacked layout)"
+            )
+        if args.layers % pp:
+            raise SystemExit(
+                f"--layers {args.layers} not divisible by "
+                f"--pipeline_parallel {pp}"
+            )
+        from livelyspeaker_tpu.parallel import create_pipeline_mesh
+
+        mesh = create_pipeline_mesh(pipeline_parallel=pp)
+    else:
+        mesh = create_mesh()  # all available devices, pure DP by default
     # The fused custom-VJP backbone is opaque to GSPMD; on multi-device
     # meshes it trains through the explicit shard_map DP step instead
     # (parallel/training.py) — same replicated-state semantics, pmean'd
@@ -147,10 +170,22 @@ def main():
         # ZeRO-style: params (and, by sharding propagation, Adam moments +
         # the EMA shadow) live 1/|data| per device on top of the TP rules.
         params = fsdp_shard_params(params, mesh)
+    elif pp > 1:
+        # Canonical layout replicated; pipeline_forward reshards the
+        # stacked copies over 'stage' inside its own shard_map.
+        from livelyspeaker_tpu.parallel import replicated
+
+        params = jax.device_put(params, replicated(mesh))
     else:
         params = shard_params(params, mesh)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"Total params: {n_params / 1e6:.2f}M")
+
+    backbone_factory = None
+    if pp > 1:
+        from livelyspeaker_tpu.parallel import make_pipeline_backbone_factory
+
+        backbone_factory = make_pipeline_backbone_factory(cfg, mesh)
 
     tcfg = TrainConfig(
         lr=args.lr,
@@ -178,6 +213,7 @@ def main():
         resume=bool(args.resume_checkpoint),
         mesh=mesh,
         use_shard_map=use_shard_map_dp,
+        backbone_factory=backbone_factory,
     )
     loop.run_loop()
     print(f"done at step {loop.step}")

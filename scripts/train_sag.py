@@ -56,6 +56,8 @@ def parse_args():
     if args.ema_rate or args.ema_warmup:
         p.error("--ema_rate/--ema_warmup apply to the RAG trainer only; "
                 "this loop keeps no EMA shadow")
+    if args.pipeline_parallel:
+        p.error("--pipeline_parallel applies to the RAG trainer only")
     return args
 
 
