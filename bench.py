@@ -3,11 +3,20 @@
 Matches the reference's heaviest eval configuration (p_sample_loop over 1000
 cosine-schedule steps with 2x-CFG denoiser passes per step,
 scripts/test_RAG_ted.py:176-178 + cfg_sampler.py:24-31) on the flagship TED
-RAG model (latent 512, 8 mixer blocks), batch sized for the MXU.
+RAG model (latent 512, 8 mixer blocks), batch sized for the MXU.  Also runs
+the BEAT flagship shape (47 joints x rot6d, seq 36 — the
+scripts_beat/test_RAG_beat.py configuration) through the same on-device
+gate + timing, reported on stderr.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N,
+   "mxu_tflops": N, "pct_mxu_peak": N, "hbm_gbps_analytic": N}
 vs_baseline is against the 50 clips/s/chip north star in BASELINE.md.
+mxu_tflops is analytic matmul FLOPs of the sampled chain / steady seconds
+(elementwise/VPU work excluded — see docs/DESIGN.md §9 roofline discussion);
+hbm_gbps_analytic is a transparent lower-bound traffic model (weights
+re-streamed per step + state round-trip + audio features; see
+chain_hbm_bytes) — the tunneled backend exposes no HBM counters.
 """
 
 import json
@@ -19,6 +28,93 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC = 50.0
 BATCH = 256
 STEPS = 1000
+
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_PEAK_GBPS = 819.0
+
+
+def wav_encoder_flops(n_samples: int, batch: int) -> float:
+    """Analytic matmul-equivalent FLOPs of the WavEncoder conv stack
+    (models/audio_encoder.py; reference audio_enc.py:6-25): 2*L_out*k*cin*cout
+    per conv.  Runs ONCE per generate (hoisted out of the scan)."""
+    total = 0.0
+    l = n_samples
+    for cin, cout, k, s, pad in (
+        (1, 32, 15, 5, 1600),
+        (32, 64, 15, 6, 0),
+        (64, 128, 15, 6, 0),
+        (128, 256, 15, 6, 0),
+    ):
+        l = (l + 2 * pad - k) // s + 1
+        total += 2.0 * l * k * cin * cout
+    return total * batch
+
+
+def denoiser_matmul_flops(cfg, batch: int) -> float:
+    """Analytic MXU (matmul) FLOPs of ONE denoiser forward at `batch`
+    (audio frontend excluded — it is hoisted out of sampling and separate
+    in training).  LayerNorms/activations (VPU work) deliberately
+    excluded — this is the MXU numerator."""
+    t = cfg.nframes
+    s = cfg.seq_len
+    d = cfg.latent_dim
+    nif = cfg.input_feats
+    in_feats = 2 * nif + 1 + 256
+    return (
+        2.0 * batch * t * in_feats * d  # input_mapping
+        + 2.0 * batch * 256 * d * 2  # speaker mu/logvar heads
+        + 2.0 * batch * d * d * 2  # timestep-embed MLP
+        + cfg.num_layers
+        * (2.0 * batch * s * s * d + 2.0 * batch * s * d * d)  # token+ch mix
+        + 2.0 * batch * t * d * nif  # pose_final
+    )
+
+
+def chain_matmul_flops(cfg, batch: int, steps: int) -> float:
+    """One sampled chain: `steps` denoiser calls, each a single 2B
+    cond+uncond forward (models/cfg.py), plus the hoisted audio frontend."""
+    from livelyspeaker_tpu.models import audio_samples_for_frames
+
+    return denoiser_matmul_flops(cfg, 2 * batch) * steps + wav_encoder_flops(
+        audio_samples_for_frames(cfg.nframes), batch
+    )
+
+
+def train_step_matmul_flops(cfg, batch: int) -> float:
+    """One training step: forward at `batch` (incl. the per-step WavEncoder)
+    + backward ~= 2x forward (the standard fwd:bwd matmul ratio — each
+    matmul differentiates into two)."""
+    from livelyspeaker_tpu.models import audio_samples_for_frames
+
+    fwd = denoiser_matmul_flops(cfg, batch) + wav_encoder_flops(
+        audio_samples_for_frames(cfg.nframes), batch
+    )
+    return 3.0 * fwd
+
+
+def chain_hbm_bytes(cfg, params, batch: int, steps: int) -> float:
+    """Analytic lower bound on HBM traffic of one sampled chain.
+
+    Per denoiser step: the full weight set streams HBM->VMEM into the
+    pallas_call (all mixer weights are VMEM-resident *within* a call but
+    re-fetched per call), the x state round-trips (read + write), and the
+    hoisted audio features are read at 2B.  Elementwise temporaries that
+    XLA fuses are excluded — this is deliberately a LOWER bound, reported
+    so the VPU-bound/HBM-light claim (DESIGN §9) is auditable round-over-
+    round, not a measured counter (the tunneled backend exposes no HBM
+    performance counters; XLA cost_analysis only reports program-boundary
+    I/O, ~0.3 GB over a whole chain — measured 2026-08-19)."""
+    import jax
+    import numpy as np
+
+    param_bytes = sum(
+        leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(params)
+    )
+    x_bytes = batch * cfg.njoints * cfg.nfeats * cfg.nframes * 4
+    audio_bytes = 2 * batch * cfg.nframes * 256 * 4
+    per_step = param_bytes + 2 * x_bytes + audio_bytes
+    return float(per_step) * steps
 
 
 def main():
@@ -44,37 +140,47 @@ def main():
         audio_samples_for_frames,
         make_cfg_denoiser,
     )
+    from livelyspeaker_tpu.models.fast_rag import make_fused_cfg_denoiser
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cfg = RAGConfig.ted()
-    model = RAG(cfg)
-    rng = np.random.default_rng(0)
-    cond = {
-        "audio": jnp.asarray(
-            rng.normal(size=(BATCH, audio_samples_for_frames(34))).astype(
-                np.float32
+
+    def build(cfg, batch, seed=0):
+        model = RAG(cfg)
+        rng = np.random.default_rng(seed)
+        nf = cfg.nframes
+        cond = {
+            "audio": jnp.asarray(
+                rng.normal(size=(batch, audio_samples_for_frames(nf))).astype(
+                    np.float32
+                )
+            ),
+            "vid": jnp.asarray(rng.integers(0, cfg.n_speakers, size=(batch,))),
+            "origin_x": jnp.asarray(
+                rng.normal(size=(batch, cfg.njoints, cfg.nfeats, nf)).astype(
+                    np.float32
+                )
+            ),
+        }
+        if cfg.num_emotions:
+            cond["emo"] = jnp.asarray(
+                rng.integers(0, cfg.num_emotions, size=(batch,))
             )
-        ),
-        "vid": jnp.asarray(rng.integers(0, 1400, size=(BATCH,))),
-        "origin_x": jnp.asarray(
-            rng.normal(size=(BATCH, 9, 3, 34)).astype(np.float32)
-        ),
-    }
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
-        jnp.zeros((BATCH, 9, 3, 34)),
-        jnp.zeros((BATCH,), jnp.int32),
-        cond,
-    )["params"]
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+            jnp.zeros((batch, cfg.njoints, cfg.nfeats, nf)),
+            jnp.zeros((batch,), jnp.int32),
+            cond,
+        )["params"]
+        return model, params, cond
 
     sched = DiffusionSchedule.create(steps=STEPS, schedule="cosine")
 
-    def timed(denoise, label):
+    def timed(denoise, label, cfg, batch):
+        shape = (batch, cfg.njoints, cfg.nfeats, cfg.nframes)
+
         @jax.jit
         def generate(key):
-            return sample_loop(
-                denoise, sched, (BATCH, 9, 3, 34), key, method="ddpm"
-            )
+            return sample_loop(denoise, sched, shape, key, method="ddpm")
 
         def run_synced(key):
             # On tunneled TPU backends block_until_ready can return before
@@ -99,113 +205,137 @@ def main():
         best = min(times)
         print(
             f"{label}: compile={compile_s:.1f}s steady={best:.3f}s "
-            f"batch={BATCH} ({BATCH / best:.1f} clips/s)",
+            f"batch={batch} ({batch / best:.1f} clips/s)",
             file=sys.stderr,
         )
         return best
 
-    from livelyspeaker_tpu.models.fast_rag import make_fused_cfg_denoiser
+    def verify(model, params, cond, cfg, label):
+        """On-device fused-vs-XLA gate over a 10-step DDPM chain.
 
-    # --- on-device correctness gate (default ON; skip with --no-verify) ---
-    # The headline number rides on the Mosaic-compiled fused kernel, whose
-    # parity is otherwise asserted only in CPU interpret mode
-    # (tests/test_pallas_kernels.py). Before timing, run a short DDPM chain
-    # through BOTH denoisers with identical keys on the real device and fail
-    # the bench if they diverge — interpret mode does not exercise Mosaic's
-    # tiling/layout decisions, this does.
-    # Whether the fused path may be timed as the headline: it must pass the
-    # on-device gate below (or the user must explicitly skip verification).
-    fused_usable = True
-    if "--no-verify" not in sys.argv:
+        Both chains run under forced-f32 matmul precision: the Pallas kernel
+        accumulates its f32 matmuls exactly, and f32 precision removes the
+        TPU-default bf16-pass reorder noise from the XLA path (~5e-3 rel
+        over the chain, measured 2026-08-17), so the gate can sit ~2 orders
+        tighter and a sub-percent systematic kernel error fails loudly.
+        Returns True if the fused path may be timed as the headline.
+        """
         vb = 16
         vcond = {k: v[:vb] for k, v in cond.items()}
         # Pin the speaker-VAE noise via the documented determinism hatch:
-        # the two closures derive their per-step style keys differently
-        # (flax make_rng("style") vs the raw scan key), which is a sampler-
-        # stream difference, not a kernel one — this gate isolates the
-        # kernel math.
+        # the two closures derive their per-step style keys differently,
+        # which is a sampler-stream difference, not a kernel one — this
+        # gate isolates the kernel math.
         vcond["style_eps"] = jnp.asarray(
-            np.random.default_rng(9).normal(
-                size=(vb, 1, cfg.latent_dim)
-            ).astype(np.float32)
+            np.random.default_rng(9)
+            .normal(size=(vb, 1, cfg.latent_dim))
+            .astype(np.float32)
         )
         vsched = DiffusionSchedule.create(
             steps=STEPS, schedule="cosine", timestep_respacing="10"
         )
-        vshape = (vb, 9, 3, 34)
+        vshape = (vb, cfg.njoints, cfg.nfeats, cfg.nframes)
 
-        def chain(denoise):
-            return jax.jit(
-                lambda k: sample_loop(
-                    denoise, vsched, vshape, k, method="ddpm"
-                )
-            )(jax.random.PRNGKey(7))
+        def chain(make_denoiser):
+            # The context must cover CLOSURE CONSTRUCTION too: both
+            # make_*_cfg_denoiser eagerly precompute t-invariant work
+            # (hoisted WavEncoder, fused-path static packing) at build
+            # time, and building outside the context leaves that work at
+            # default bf16-pass precision with path-specific groupings —
+            # measured 3.2e-3 residual with the context on the chain only.
+            with jax.default_matmul_precision("float32"):
+                denoise = make_denoiser(model, params, vcond, 1.5)
+                return jax.jit(
+                    lambda k: sample_loop(
+                        denoise, vsched, vshape, k, method="ddpm"
+                    )
+                )(jax.random.PRNGKey(7))
 
-        ref = jax.block_until_ready(
-            chain(make_cfg_denoiser(model, params, vcond, 1.5))
-        )
+        ref = jax.block_until_ready(chain(make_cfg_denoiser))
         try:
-            fused = jax.block_until_ready(
-                chain(make_fused_cfg_denoiser(model, params, vcond, 1.5))
-            )
+            fused = jax.block_until_ready(chain(make_fused_cfg_denoiser))
         except Exception as e:
             # A fused path that can't RUN the gate is a fused path that
             # hasn't been verified on device — it must not become the
             # headline number either (Mosaic lowering is shape-dependent,
             # so "fails at the gate shape, compiles at BATCH" is real).
-            print(f"verify: fused path failed to run: {e}", file=sys.stderr)
-            fused = None
-            fused_usable = False
-        if fused is not None:
-            delta = float(jnp.max(jnp.abs(fused - ref)))
-            scale = float(jnp.max(jnp.abs(ref)))
-            rel = delta / max(scale, 1e-12)
             print(
-                f"verify: fused-vs-XLA 10-step DDPM chain max|delta|="
-                f"{delta:.3e} (ref max|x|={scale:.3f}, rel={rel:.2e})",
+                f"verify[{label}]: fused path failed to run: {e}",
                 file=sys.stderr,
             )
-            # Both paths run TPU-default bf16-precision matmuls with
-            # different groupings (split input projection, in-kernel pose
-            # proj), so per-call reorder noise is ~1e-3 relative and the
-            # 10-step chain compounds to ~5e-3; measured 2026-08-17. A real
-            # semantic divergence (e.g. the style-RNG mismatch this gate
-            # first caught) shows up at rel ~2.5e-1.
-            assert rel <= 2e-2, (
-                f"fused kernel diverges from XLA on device: rel={rel:.3e}"
-            )
-
-    # The fused Pallas path is the production sampler; measure it by default.
-    # (`--both` additionally times the XLA path — compiles are expensive on
-    # this host and the remote-compile cache is ineffective, so the default
-    # keeps the driver's bench run short.)
-    best = None
-    if fused_usable:
-        try:
-            best = timed(
-                make_fused_cfg_denoiser(model, params, cond, 1.0),
-                "pallas-fused",
-            )
-        except Exception as e:  # fused is an optimization, not a dependency
-            print(f"pallas-fused path failed: {e}", file=sys.stderr)
-    else:
-        print("pallas-fused path unverified (gate failed to run it); "
-              "timing the XLA path instead", file=sys.stderr)
-    if best is None or "--both" in sys.argv:
-        best_xla = timed(make_cfg_denoiser(model, params, cond, 1.0), "xla")
-        best = min(best, best_xla) if best is not None else best_xla
-
-    clips_per_sec = BATCH / best
-    print(
-        json.dumps(
-            {
-                "metric": "ted_rag_ddpm1000_cfg_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
-            }
+            return False
+        delta = float(jnp.max(jnp.abs(fused - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        rel = delta / max(scale, 1e-12)
+        print(
+            f"verify[{label}]: fused-vs-XLA 10-step DDPM chain (f32 matmuls) "
+            f"max|delta|={delta:.3e} (ref max|x|={scale:.3f}, rel={rel:.2e})",
+            file=sys.stderr,
         )
-    )
+        # f32-precision gate: measured rel 7-9e-7 per call / <1e-5 over the
+        # 10-step chain at BOTH flagship shapes (2026-08-19); 1e-4 leaves
+        # 10x margin while catching systematic kernel errors 200x smaller
+        # than the old bf16-noise gate (2e-2) could.
+        assert rel <= 1e-4, (
+            f"fused kernel diverges from XLA on device [{label}]: "
+            f"rel={rel:.3e}"
+        )
+        return True
+
+    def bench_config(cfg, label, batch):
+        model, params, cond = build(cfg, batch)
+        fused_usable = True
+        if "--no-verify" not in sys.argv:
+            fused_usable = verify(model, params, cond, cfg, label)
+        best = None
+        if fused_usable:
+            try:
+                best = timed(
+                    make_fused_cfg_denoiser(model, params, cond, 1.0),
+                    f"pallas-fused[{label}]",
+                    cfg,
+                    batch,
+                )
+            except Exception as e:  # fused is an optimization, not a need
+                print(f"pallas-fused[{label}] failed: {e}", file=sys.stderr)
+        else:
+            print(
+                f"pallas-fused[{label}] unverified (gate failed to run); "
+                "timing the XLA path instead",
+                file=sys.stderr,
+            )
+        if best is None or "--both" in sys.argv:
+            best_xla = timed(
+                make_cfg_denoiser(model, params, cond, 1.0),
+                f"xla[{label}]",
+                cfg,
+                batch,
+            )
+            best = best_xla if best is None else min(best, best_xla)
+        tflops = chain_matmul_flops(cfg, batch, STEPS) / best / 1e12
+        gbps = chain_hbm_bytes(cfg, params, batch, STEPS) / best / 1e9
+        row = {
+            "metric": f"{label}_rag_ddpm1000_cfg_clips_per_sec_per_chip",
+            "value": round(batch / best, 2),
+            "unit": "clips/s",
+            "vs_baseline": round(batch / best / BASELINE_CLIPS_PER_SEC, 3),
+            "mxu_tflops": round(tflops, 2),
+            "pct_mxu_peak": round(100.0 * tflops * 1e12
+                                  / V5E_BF16_PEAK_FLOPS, 2),
+            "hbm_gbps_analytic": round(gbps, 1),
+            "pct_hbm_peak": round(100.0 * gbps / V5E_HBM_PEAK_GBPS, 1),
+        }
+        return row
+
+    # BEAT flagship shape first (47x6, seq 36 — a different Mosaic lowering
+    # than seq-35 TED; scripts_beat/test_RAG_beat.py:118-122 config), row on
+    # stderr; the TED headline is the single stdout JSON line.
+    if "--no-beat" not in sys.argv:
+        beat_row = bench_config(RAGConfig.beat(), "beat", BATCH)
+        print(json.dumps(beat_row), file=sys.stderr)
+
+    ted_row = bench_config(RAGConfig.ted(), "ted", BATCH)
+    print(json.dumps(ted_row))
 
 
 if __name__ == "__main__":

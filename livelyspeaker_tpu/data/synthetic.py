@@ -16,7 +16,14 @@ import numpy as np
 from .ted import TedConfig, build_ted_records
 from ..ops.skeleton import DIR_VEC_PAIRS, MEAN_DIR_VEC
 
-__all__ = ["synthetic_clips", "build_synthetic_ted_records"]
+__all__ = [
+    "synthetic_clips",
+    "build_synthetic_ted_records",
+    "SEMANTIC_TEMPLATES",
+    "synthetic_semantic_clips",
+    "build_semantic_ted_records",
+    "semantic_mode_of_sentence",
+]
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog people talk about ideas "
@@ -162,5 +169,126 @@ def build_synthetic_ted_records(
         ),
         out_dir,
         disable_filtering=False,
+    )
+    return n, vocab
+
+
+# --- semantic-payoff fixture -------------------------------------------------
+#
+# The reference's defining claim is that the SAG text sketch + skip=80 RAG
+# refinement IMPROVES on RAG alone (test_LivelySpeaker_ted.py:102-113,
+# 212-221).  Proving that needs a fixture where text carries motion signal
+# that nothing else carries: the `modes=K` fixture above fails for this
+# because the eval protocol conditions the denoiser on the window's first
+# 4 REAL frames, which identify the archetype (DESIGN §9 round-3 analysis).
+# Here every clip is exactly ONE window whose first ~8 frames follow a
+# mode-independent base — the seeds and the audio are mode-blind by
+# construction, and the sentence template is the ONLY mode-identifying
+# signal.  Used by scripts/measure_semantic_payoff.py.
+
+SEMANTIC_TEMPLATES = (
+    "waving both hands high in the air",
+    "pointing firmly to the left side",
+    "folding the arms across the chest",
+    "spreading the palms wide open outward",
+    "raising one hand slowly above the head",
+    "chopping downward with a flat hand",
+    "circling the wrists in front of the body",
+    "shrugging the shoulders with open hands",
+)
+
+
+def semantic_mode_of_sentence(sentence: str, modes: int) -> int:
+    """Recover the archetype index from a dataset sentence (the window's
+    sentence embeds the template verbatim)."""
+    for k in range(modes):
+        if SEMANTIC_TEMPLATES[k] in sentence:
+            return k
+    raise ValueError(f"no template in: {sentence!r}")
+
+
+def synthetic_semantic_clips(
+    n_clips: int = 32,
+    modes: int = 4,
+    seed: int = 233,
+    n_speakers: int = 4,
+    native_fps: int = 20,
+    clip_seconds: float = 3.0,
+) -> Iterable[Dict]:
+    """Text-identifies-motion clips: one 42-frame window per clip.
+
+    Per clip with archetype ``k = c % modes``:
+      * frames < 8 (at the 15 fps target): mode-independent smooth base —
+        the eval protocol's 4 seed frames carry NO mode information;
+      * frames 8-12 ramp in a fixed per-mode sinusoid archetype
+        (rng 2000+k: frequencies/phases/amps over the 27 dir-vec dims);
+      * audio: the same mode-independent modulated noise as
+        :func:`synthetic_clips`;
+      * speaker: drawn independently of the mode;
+      * words: the mode's SEMANTIC_TEMPLATES sentence, timed across the
+        clip (>= 2 words per window, the dataset's filter threshold).
+    """
+    assert modes <= len(SEMANTIC_TEMPLATES), (modes, len(SEMANTIC_TEMPLATES))
+    rng = np.random.default_rng(seed)
+    mean_dv = MEAN_DIR_VEC.reshape(9, 3)
+    for c in range(n_clips):
+        k = c % modes
+        n_frames = int(clip_seconds * native_fps)
+        tg = (np.arange(n_frames) / native_fps)[:, None]  # seconds
+        wob = _smooth_noise(rng, n_frames, 27, native_fps).reshape(
+            n_frames, 9, 3
+        )
+        mrng = np.random.default_rng(2000 + k)
+        f = mrng.uniform(0.3, 1.5, size=27)
+        ph = mrng.uniform(0, 2 * np.pi, size=27)
+        amp = mrng.uniform(0.6, 1.0, size=27)
+        arch = amp[None] * np.sin(2 * np.pi * f[None] * tg + ph[None])
+        # zero until 15fps-frame 8 (0.53 s), fully in by frame 12
+        onset = np.clip((tg * 15.0 - 8.0) / 4.0, 0.0, 1.0)
+        sig = (onset * arch).reshape(n_frames, 9, 3)
+        dv = mean_dv[None] + 0.35 * (0.85 * sig + 0.25 * wob)
+        dv /= np.maximum(np.linalg.norm(dv, axis=-1, keepdims=True), 1e-9)
+        skeletons = _skeleton_from_dir_vecs(dv)
+
+        audio = (0.1 * rng.normal(size=int(clip_seconds * 16000))).astype(
+            np.float32
+        )
+        ts = np.linspace(0, clip_seconds, len(audio), endpoint=False)
+        audio *= (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * ts)).astype(np.float32)
+
+        words: List = []
+        t0 = 0.15
+        template = SEMANTIC_TEMPLATES[k].split()
+        i = 0
+        while t0 < clip_seconds - 0.4:
+            dur = 0.25
+            words.append([template[i % len(template)], t0, t0 + dur])
+            t0 += dur + 0.1
+            i += 1
+
+        yield {
+            "vid": f"speaker_{int(rng.integers(0, n_speakers)):03d}",
+            "skeletons": skeletons,
+            "audio": audio,
+            "words": words,
+            "start_time": 0.0,
+            "end_time": clip_seconds,
+        }
+
+
+def build_semantic_ted_records(
+    out_dir: str,
+    n_clips: int = 32,
+    modes: int = 4,
+    seed: int = 233,
+    cfg: TedConfig | None = None,
+):
+    cfg = cfg or TedConfig()
+    n, vocab = build_ted_records(
+        cfg,
+        synthetic_semantic_clips(n_clips=n_clips, modes=modes, seed=seed),
+        out_dir,
+        # deterministic window count: one window per clip, never filtered
+        disable_filtering=True,
     )
     return n, vocab

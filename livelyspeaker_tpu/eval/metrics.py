@@ -25,6 +25,7 @@ __all__ = [
     "SRGR",
     "L1Div",
     "Alignment",
+    "long_form_seam_report",
 ]
 
 # (test_RAG_ted.py:24-30)
@@ -206,3 +207,63 @@ class Alignment:
         mb = self.motion_beats(pose)
         pose_bt = mb / pose_fps
         return self.GAHR(pose_bt, audio_bt, self.sigma)
+
+
+def long_form_seam_report(
+    motion: np.ndarray, nframes: int, n_pre_seq: int
+) -> dict:
+    """Quality of the long-form window seams (pipeline.generate_long_form).
+
+    The reference never generates past one dataset window; its continuity
+    story is the seed-frame mechanism (RAG.py:184-192) that our long-form
+    path turns into an API: window w+1 is seeded with window w's last
+    ``n_pre_seq`` generated frames.  A well-conditioned model should make
+    the transition *into* each new window no jerkier than motion inside a
+    window — this report quantifies that.
+
+    Args:
+      motion: [J, F, T] long-form output (``generate_long_form`` layout).
+      nframes / n_pre_seq: the window grid parameters used to generate it
+        (hop = nframes - n_pre_seq; window w>0's first kept frame lands at
+        t = nframes + (w-1)*hop).
+
+    Returns dict with per-frame velocity magnitudes split by boundary type:
+      seam_mean/seam_p95: ||x[t]-x[t-1]|| over the seam crossings
+        (last committed frame of window w -> first kept frame of w+1);
+      within_mean/within_p95: same over every other frame boundary;
+      ratio_p95: seam_p95 / within_p95 — ~1.0 means seams are
+        indistinguishable from ordinary motion; >>1 means visible jerks.
+    """
+    motion = np.asarray(motion, np.float64)
+    j, f, t = motion.shape
+    hop = nframes - n_pre_seq
+    vel = np.linalg.norm(
+        np.diff(motion, axis=-1).reshape(j * f, t - 1), axis=0
+    )  # vel[i] = ||x[i+1] - x[i]||
+    seam_starts = [
+        nframes + w * hop for w in range(((t - nframes) // hop) + 1)
+        if nframes + w * hop < t
+    ]
+    seam_idx = np.asarray([s - 1 for s in seam_starts], np.intp)
+    mask = np.zeros(t - 1, bool)
+    mask[seam_idx] = True
+    seam, within = vel[mask], vel[~mask]
+    if not len(seam):
+        return {
+            "n_seams": 0,
+            "seam_mean": float("nan"),
+            "seam_p95": float("nan"),
+            "within_mean": float(np.mean(within)),
+            "within_p95": float(np.percentile(within, 95)),
+            "ratio_p95": float("nan"),
+        }
+    within_p95 = float(np.percentile(within, 95))
+    seam_p95 = float(np.percentile(seam, 95))
+    return {
+        "n_seams": int(len(seam)),
+        "seam_mean": float(np.mean(seam)),
+        "seam_p95": seam_p95,
+        "within_mean": float(np.mean(within)),
+        "within_p95": within_p95,
+        "ratio_p95": seam_p95 / max(within_p95, 1e-12),
+    }

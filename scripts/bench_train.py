@@ -100,6 +100,9 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
     dt = (time.time() - t0) / steps
     assert np.isfinite(loss), f"non-finite loss under {compute_dtype}"
 
+    from bench import V5E_BF16_PEAK_FLOPS, train_step_matmul_flops
+
+    tflops = train_step_matmul_flops(cfg, batch) / dt / 1e12
     return {
         "metric": "ted_rag_train_step_ms",
         "value": round(dt * 1e3, 2),
@@ -109,6 +112,8 @@ def bench_dtype(compute_dtype: str, batch: int, steps: int, latent: int,
         "fused_train": fused_train,
         "audio_bf16": audio_bf16,
         "clips_per_sec": round(batch / dt, 1),
+        "mxu_tflops": round(tflops, 2),
+        "pct_mxu_peak": round(100.0 * tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 2),
         "compile_s": round(compile_s, 1),
         "final_loss": round(loss, 4),
     }

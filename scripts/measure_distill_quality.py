@@ -48,6 +48,13 @@ def main():
                    help="K>0: conditionally-multimodal fixture (K sinusoid "
                         "archetypes the conditioning cannot identify) — the "
                         "regime where few-step DDIM should degrade")
+    p.add_argument("--n_pre_seq", type=int, default=4,
+                   help="0 disables seed-frame conditioning entirely "
+                        "(RAGConfig(n_pre_seq=0) zeroes both the seed "
+                        "frames and the indicator bit): with --modes K the "
+                        "posterior is then genuinely K-modal — the round-3 "
+                        "analysis (DESIGN §9) showed 4 seed frames collapse "
+                        "it, hiding any step-count sensitivity")
     args = p.parse_args()
 
     import optax
@@ -90,7 +97,8 @@ def main():
         fields=("motion", "audio", "vid"),
     )
 
-    cfg = RAGConfig(latent_dim=args.latent_dim, num_layers=args.layers)
+    cfg = RAGConfig(latent_dim=args.latent_dim, num_layers=args.layers,
+                    n_pre_seq=args.n_pre_seq)
     model = RAG(cfg)
     first = dataset.batch([0], fields=("motion", "audio", "vid"))
     params = model.init(

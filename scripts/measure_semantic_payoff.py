@@ -1,0 +1,327 @@
+#!/usr/bin/env python
+"""The semantic-payoff study: does the SAG->RAG composition actually help?
+
+The reference's defining claim is that the SAG text sketch + skip=80 RAG
+refinement IMPROVES on RAG alone (test_LivelySpeaker_ted.py:102-113,212-221
+sweeps exactly this).  Every earlier round proved the composition
+*mechanically* (clip parity, plumbing); this script measures its *semantic
+value* on a fixture where text is the ONLY mode-identifying signal
+(data/synthetic.py: build_semantic_ted_records — seed frames and audio are
+mode-blind by construction, the sentence template names the archetype).
+
+Protocol (all on device):
+  1. train a flagship RAG (latent 512 / 8 blocks) on the semantic fixture;
+  2. train a flagship SAG (512-d MotionCLIP) against a FROZEN random CLIP
+     text tower (distinct sentences -> distinct frozen embeddings; the real
+     released weights are unavailable in-env — the mechanism is identical);
+  3. on a fresh-seed test split, generate with (a) RAG-only ddim100 and
+     (b) SAG sketch + skip=80 refinement, guidance 1.0 / 1.5 each
+     (the reference's exact sweep);
+  4. score: mode RECALL (nearest-centroid archetype classifier built from
+     TRAIN windows, frames >= 12 where the mode signature lives), marginal
+     FGD, and conditional FGD (per-mode Frechet, averaged) with the frozen
+     embedding-space evaluator.
+
+RAG-only cannot know the mode (recall ~ 1/K by construction); if the
+composition carries the text signal through refinement, full-pipeline
+recall and conditional FGD must beat it.  Results: BASELINE.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
+_jax_setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from measure_fgd_parity import make_embedder_ckpt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modes", type=int, default=4)
+    p.add_argument("--train_clips", type=int, default=64)
+    p.add_argument("--test_clips", type=int, default=64)
+    p.add_argument("--rag_steps", type=int, default=1500)
+    p.add_argument("--sag_steps", type=int, default=2000)
+    p.add_argument("--latent_dim", type=int, default=512)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--clip_layers", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--sag_lr", type=float, default=3e-4)
+    p.add_argument("--respacing", type=str, default="ddim100")
+    p.add_argument("--skip", type=int, default=80)
+    p.add_argument("--samples_per_window", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=64)
+    args = p.parse_args()
+
+    import optax
+
+    from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+    from livelyspeaker_tpu.data.clip_tokenizer import HashTokenizer
+    from livelyspeaker_tpu.data.synthetic import (
+        build_semantic_ted_records,
+        semantic_mode_of_sentence,
+    )
+    from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
+    from livelyspeaker_tpu.eval.fgd import frechet_from_samples
+    from livelyspeaker_tpu.models import RAG, RAGConfig
+    from livelyspeaker_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from livelyspeaker_tpu.models.sag import SAG, sag_losses
+    from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline, RAGSampler
+    from livelyspeaker_tpu.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    K = args.modes
+
+    def fixture(tag, n_clips, seed):
+        d = os.path.join(
+            tempfile.gettempdir(), f"ls_sem_{tag}_k{K}_n{n_clips}_s{seed}"
+        )
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            build_semantic_ted_records(d, n_clips=n_clips, modes=K, seed=seed)
+        return TedWindowDataset(d)
+
+    train_ds = fixture("train", args.train_clips, 233)
+    test_ds = fixture("test", args.test_clips, 777)
+    print(
+        f"fixture: train={len(train_ds)} test={len(test_ds)} windows, "
+        f"K={K}",
+        file=sys.stderr,
+    )
+
+    # ---- 1. train RAG -------------------------------------------------------
+    cfg = RAGConfig(latent_dim=args.latent_dim, num_layers=args.layers)
+    model = RAG(cfg)
+    loader = DataLoader(
+        train_ds,
+        batch_size=min(args.batch_size, len(train_ds)),
+        shuffle=True,
+        seed=233,
+        fields=("motion", "audio", "vid"),
+    )
+    first = train_ds.batch([0], fields=("motion", "audio", "vid"))
+    params = model.init(
+        {"params": jax.random.PRNGKey(10), "style": jax.random.PRNGKey(11),
+         "cond_mask": jax.random.PRNGKey(12)},
+        jnp.asarray(first["motion"]),
+        jnp.zeros((1,), jnp.int32),
+        {"audio": jnp.asarray(first["audio"]),
+         "vid": jnp.asarray(first["vid"]),
+         "origin_x": jnp.asarray(first["motion"])},
+        train=True,
+    )["params"]
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create(steps=1000, schedule="cosine")
+    tcfg = TrainConfig(lr=args.lr)
+    tx = make_optimizer(tcfg)
+    state = init_train_state(params, tx, cfg=tcfg, num_timesteps=1000)
+    step = jax.jit(make_train_step(model, sched, tx, tcfg), donate_argnums=0)
+    key, done, t0 = jax.random.PRNGKey(0), 0, time.time()
+    while done < args.rag_steps:
+        for batch in loader:
+            if done >= args.rag_steps:
+                break
+            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, m = step(state, dev, jax.random.fold_in(key, done))
+            done += 1
+    jax.block_until_ready(m["loss"])
+    rag_params = state.params
+    print(
+        f"RAG trained: {done} steps loss={float(m['loss']):.4f} "
+        f"({time.time() - t0:.0f}s)",
+        file=sys.stderr,
+    )
+
+    # ---- 2. frozen text tower + SAG -----------------------------------------
+    tokenizer = HashTokenizer()
+    clip_model = CLIPTextEncoder(
+        CLIPTextConfig(layers=args.clip_layers, embed_dim=512)
+    )
+    clip_params = clip_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+    encode_text = jax.jit(
+        lambda toks: clip_model.apply({"params": clip_params}, toks)
+    )
+
+    sag = SAG(latent_dim=512)
+    sag_params = sag.init(
+        jax.random.PRNGKey(20), jnp.asarray(first["motion"])
+    )["params"]
+    stx = optax.adam(args.sag_lr)
+    sopt = stx.init(sag_params)
+
+    @jax.jit
+    def sag_step(sp, so, motion, text_feats, rng):
+        def loss_fn(pp):
+            out = sag.apply(
+                {"params": pp}, motion, deterministic=False,
+                rngs={"dropout": rng},
+            )
+            losses = sag_losses(
+                motion, out["output"], out["z"], text_feats, lam_cos=1.0
+            )
+            return losses["sum"], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(sp)
+        updates, so2 = stx.update(grads, so, sp)
+        return optax.apply_updates(sp, updates), so2, losses
+
+    sag_loader = DataLoader(
+        train_ds,
+        batch_size=min(args.batch_size, len(train_ds)),
+        shuffle=True,
+        seed=34,
+        fields=("motion", "sentence"),
+    )
+    done, t0 = 0, time.time()
+    while done < args.sag_steps:
+        for batch in sag_loader:
+            if done >= args.sag_steps:
+                break
+            toks = jnp.asarray(tokenizer(list(batch["sentence"])))
+            tf = encode_text(toks)
+            sag_params, sopt, sl = sag_step(
+                sag_params, sopt, jnp.asarray(batch["motion"]), tf,
+                jax.random.fold_in(jax.random.PRNGKey(3), done),
+            )
+            done += 1
+    jax.block_until_ready(sl["sum"])
+    print(
+        f"SAG trained: {done} steps loss={float(sl['sum']):.4f} "
+        f"(cos={float(sl['clip_loss']):.4f}, {time.time() - t0:.0f}s)",
+        file=sys.stderr,
+    )
+
+    # ---- 3. centroid classifier from TRAIN windows --------------------------
+    train_all = train_ds.batch(
+        list(range(len(train_ds))), fields=("motion", "sentence")
+    )
+    train_modes = np.asarray(
+        [semantic_mode_of_sentence(s, K) for s in train_all["sentence"]]
+    )
+    SIG_FROM = 12  # mode signature fully in by 15fps-frame 12
+    feats = np.asarray(train_all["motion"])[:, :, :, SIG_FROM:].reshape(
+        len(train_modes), -1
+    )
+    centroids = np.stack(
+        [feats[train_modes == k].mean(axis=0) for k in range(K)]
+    )
+
+    def classify(motions):  # [B, J, F, T] -> [B] mode ids
+        f = np.asarray(motions)[:, :, :, SIG_FROM:].reshape(
+            motions.shape[0], -1
+        )
+        d = ((f[:, None] - centroids[None]) ** 2).sum(-1)
+        return d.argmin(axis=1)
+
+    # sanity: the classifier must be near-perfect on real data
+    test_all = test_ds.batch(
+        list(range(len(test_ds))),
+        fields=("motion", "audio", "vid", "sentence"),
+    )
+    test_modes = np.asarray(
+        [semantic_mode_of_sentence(s, K) for s in test_all["sentence"]]
+    )
+    real_acc = float((classify(test_all["motion"]) == test_modes).mean())
+    print(f"classifier on real test windows: {real_acc:.3f}", file=sys.stderr)
+
+    # ---- 4. generate + score ------------------------------------------------
+    evaluator = EmbeddingSpaceEvaluator.from_torch_checkpoint(
+        make_embedder_ckpt("/tmp/fgd_embedder.bin")
+    )
+
+    def to_eval(m):
+        return np.asarray(m).transpose(0, 3, 1, 2).reshape(m.shape[0], 34, -1)
+
+    real_emb = evaluator.embed(to_eval(np.asarray(test_all["motion"])))
+
+    rag_sampler = RAGSampler(
+        model, rag_params, steps=1000, timestep_respacing=args.respacing,
+        method="ddim",
+    )
+    pipe = LivelySpeakerPipeline(
+        model, rag_params, sag, sag_params, clip_model, clip_params,
+        tokenizer, steps=1000, timestep_respacing=args.respacing,
+        skip_timesteps=args.skip, method="ddim",
+    )
+    cond = {
+        "audio": jnp.asarray(test_all["audio"]),
+        "vid": jnp.asarray(test_all["vid"]),
+        "origin_x": jnp.asarray(test_all["motion"]),
+    }
+    sentences = list(test_all["sentence"])
+
+    # the raw SAG sketch itself — did SAG learn text -> archetype at all?
+    sketch = pipe.semantic_sketch(sentences, cond["origin_x"])
+    sketch_recall = float((classify(np.asarray(sketch)) == test_modes).mean())
+    print(f"sketch recall: {sketch_recall:.3f}", file=sys.stderr)
+
+    def run(path, guidance):
+        gens = []
+        for s in range(args.samples_per_window):
+            rng = jax.random.fold_in(jax.random.PRNGKey(99), s)
+            if path == "full":
+                g = pipe(sentences, cond, rng, guidance=guidance)
+            else:
+                g = rag_sampler(cond, rng, guidance=guidance)
+            gens.append(np.asarray(g))
+        gen = np.concatenate(gens)  # [S*B, J, F, T]
+        modes_rep = np.tile(test_modes, args.samples_per_window)
+        recall = float((classify(gen) == modes_rep).mean())
+        gen_emb = evaluator.embed(to_eval(gen))
+        real_rep = np.tile(real_emb, (args.samples_per_window, 1))
+        fgd = float(frechet_from_samples(gen_emb, real_rep))
+        cond_fgds = []
+        for k in range(K):
+            cond_fgds.append(
+                float(
+                    frechet_from_samples(
+                        gen_emb[modes_rep == k], real_emb[test_modes == k]
+                    )
+                )
+            )
+        return {
+            "path": path,
+            "guidance": guidance,
+            "mode_recall": round(recall, 4),
+            "fgd": round(fgd, 6),
+            "cond_fgd_mean": round(float(np.mean(cond_fgds)), 6),
+            "cond_fgd_per_mode": [round(v, 6) for v in cond_fgds],
+        }
+
+    header = {
+        "modes": K,
+        "classifier_acc_on_real": round(real_acc, 4),
+        "sketch_recall": round(sketch_recall, 4),
+        "chance_recall": round(1.0 / K, 4),
+        "n_test_windows": len(test_ds),
+        "samples_per_window": args.samples_per_window,
+    }
+    print(json.dumps(header))
+    for guidance in (1.0, 1.5):
+        for path in ("rag", "full"):
+            row = run(path, guidance)
+            print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,42 @@ def test_stream_chunks_concatenate_to_batch_result():
     np.testing.assert_array_equal(
         np.concatenate([c for _, c in chunks], axis=-1), whole
     )
+
+
+def test_seam_report_detects_injected_discontinuity():
+    """long_form_seam_report: smooth motion scores ratio ~1; motion with a
+    jump injected exactly at the window seams scores ratio >> 1, and the
+    seam boundaries land where the window grid puts them."""
+    from livelyspeaker_tpu.eval.metrics import long_form_seam_report
+
+    nf, pre = 34, 4
+    hop = nf - pre
+    t_total = nf + 3 * hop  # 4 windows
+    rng = np.random.default_rng(0)
+    # Smooth base motion: sum of slow sinusoids per channel.
+    tgrid = np.arange(t_total) / 15.0
+    j, f = 9, 3
+    phases = rng.uniform(0, 2 * np.pi, size=(j, f, 1))
+    freqs = rng.uniform(0.3, 1.0, size=(j, f, 1))
+    smooth = np.sin(2 * np.pi * freqs * tgrid[None, None, :] + phases)
+
+    rep = long_form_seam_report(smooth, nf, pre)
+    assert rep["n_seams"] == 3
+    assert 0.3 < rep["ratio_p95"] < 1.7, rep
+
+    # Inject a jump at each seam crossing: frames >= each seam start get a
+    # constant offset, so only the seam boundary velocity spikes.
+    jumpy = smooth.copy()
+    for w in range(1, 4):
+        jumpy[:, :, nf + (w - 1) * hop :] += 2.0
+    rep_j = long_form_seam_report(jumpy, nf, pre)
+    assert rep_j["ratio_p95"] > 5.0, rep_j
+    np.testing.assert_allclose(rep_j["within_p95"], rep["within_p95"],
+                               rtol=1e-12)
+
+
+def test_seam_report_single_window():
+    from livelyspeaker_tpu.eval.metrics import long_form_seam_report
+
+    rep = long_form_seam_report(np.zeros((9, 3, 34)), 34, 4)
+    assert rep["n_seams"] == 0 and np.isnan(rep["ratio_p95"])
