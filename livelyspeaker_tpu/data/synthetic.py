@@ -214,6 +214,7 @@ def synthetic_semantic_clips(
     n_speakers: int = 4,
     native_fps: int = 20,
     clip_seconds: float = 3.0,
+    audio_pool: int = 8,
 ) -> Iterable[Dict]:
     """Text-identifies-motion clips: one 42-frame window per clip.
 
@@ -222,8 +223,15 @@ def synthetic_semantic_clips(
         the eval protocol's 4 seed frames carry NO mode information;
       * frames 8-12 ramp in a fixed per-mode sinusoid archetype
         (rng 2000+k: frequencies/phases/amps over the 27 dir-vec dims);
-      * audio: the same mode-independent modulated noise as
-        :func:`synthetic_clips`;
+      * audio: drawn from a SHARED ``audio_pool``-stream pool paired
+        orthogonally to the mode (clip c uses stream (c//modes) %
+        audio_pool, so every stream co-occurs with every mode).  Unique
+        per-clip audio would let a small-scale model memorise
+        audio -> x0 and never learn to read x_t — measured 2026-08-19:
+        with unique audio the trained denoiser's x0 prediction ignored
+        REAL mode content in x_t (recall 0.297 ~ chance) and the skip=80
+        refinement erased the SAG sketch; the pool makes p(x0 | cond)
+        genuinely K-modal for memorisers too;
       * speaker: drawn independently of the mode;
       * words: the mode's SEMANTIC_TEMPLATES sentence, timed across the
         clip (>= 2 words per window, the dataset's filter threshold).
@@ -231,12 +239,34 @@ def synthetic_semantic_clips(
     assert modes <= len(SEMANTIC_TEMPLATES), (modes, len(SEMANTIC_TEMPLATES))
     rng = np.random.default_rng(seed)
     mean_dv = MEAN_DIR_VEC.reshape(9, 3)
+    arng = np.random.default_rng(seed + 5000)
+    n_audio_samples = int(clip_seconds * 16000)
+    ts = np.linspace(0, clip_seconds, n_audio_samples, endpoint=False)
+    am = (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * ts)).astype(np.float32)
+    pool = [
+        (0.1 * arng.normal(size=n_audio_samples)).astype(np.float32) * am
+        for _ in range(max(audio_pool, 1))
+    ]
+    n_frames = int(clip_seconds * native_fps)
+    wrng = np.random.default_rng(seed + 7000)
+    wob_pool = [
+        _smooth_noise(wrng, n_frames, 27, native_fps).reshape(n_frames, 9, 3)
+        for _ in range(max(audio_pool, 1))
+    ]
     for c in range(n_clips):
         k = c % modes
-        n_frames = int(clip_seconds * native_fps)
         tg = (np.arange(n_frames) / native_fps)[:, None]  # seconds
-        wob = _smooth_noise(rng, n_frames, 27, native_fps).reshape(
-            n_frames, 9, 3
+        # The seed frames show only the base wobble; draw its DOMINANT part
+        # from the same orthogonally-paired pool as the audio (a unique
+        # wobble would let the seeds identify the training clip — the same
+        # memorisation leak as unique audio), keeping a small unique
+        # residual so clips aren't exact duplicates.
+        wob = (
+            0.75 * wob_pool[(c // modes) % len(wob_pool)]
+            + 0.25
+            * _smooth_noise(rng, n_frames, 27, native_fps).reshape(
+                n_frames, 9, 3
+            )
         )
         mrng = np.random.default_rng(2000 + k)
         f = mrng.uniform(0.3, 1.5, size=27)
@@ -250,11 +280,7 @@ def synthetic_semantic_clips(
         dv /= np.maximum(np.linalg.norm(dv, axis=-1, keepdims=True), 1e-9)
         skeletons = _skeleton_from_dir_vecs(dv)
 
-        audio = (0.1 * rng.normal(size=int(clip_seconds * 16000))).astype(
-            np.float32
-        )
-        ts = np.linspace(0, clip_seconds, len(audio), endpoint=False)
-        audio *= (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * ts)).astype(np.float32)
+        audio = pool[(c // modes) % len(pool)]
 
         words: List = []
         t0 = 0.15
@@ -282,11 +308,14 @@ def build_semantic_ted_records(
     modes: int = 4,
     seed: int = 233,
     cfg: TedConfig | None = None,
+    audio_pool: int = 8,
 ):
     cfg = cfg or TedConfig()
     n, vocab = build_ted_records(
         cfg,
-        synthetic_semantic_clips(n_clips=n_clips, modes=modes, seed=seed),
+        synthetic_semantic_clips(
+            n_clips=n_clips, modes=modes, seed=seed, audio_pool=audio_pool
+        ),
         out_dir,
         # deterministic window count: one window per clip, never filtered
         disable_filtering=True,

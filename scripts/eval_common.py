@@ -161,16 +161,26 @@ def fixture_fgd(model, dataset, model_path, fixture, *, batch_size=64,
     fixture.reset()
     rng = jax.random.PRNGKey(seed)
     nf = model.cfg.nframes
+
+    def flat(m):  # [B, J, F, T] -> [B, T, J*F]
+        m = np.asarray(m)
+        return m.transpose(0, 3, 1, 2).reshape(m.shape[0], nf, -1)
+
     for batch in loader:
-        b = batch["motion"].shape[0]
         cond = {
             "audio": jnp.asarray(batch["audio"]),
             "vid": jnp.asarray(batch["vid"]),
             "origin_x": jnp.asarray(batch["motion"]),
         }
+        if "emo" in batch:  # BEAT conditioning (scripts_beat RAG.py:125-126)
+            cond["emo"] = jnp.asarray(batch["emo"])
         rng, srng = jax.random.split(rng)
         sample = sampler(cond, srng, guidance=guidance)
-        gen = np.asarray(sample).transpose(0, 3, 1, 2).reshape(b, nf, -1)
-        fixture.push_samples(gen, batch["vec_seq"])
+        # TED windows carry the flat vec_seq directly; BEAT's rot6d motion
+        # flattens the same way the FID protocol does (test_RAG_beat.py).
+        real = batch["vec_seq"] if "vec_seq" in batch else flat(
+            batch["motion"]
+        )
+        fixture.push_samples(flat(sample), real)
     fgd, _ = fixture.get_scores()
     return float(fgd)

@@ -56,12 +56,23 @@ def main():
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--clip_layers", type=int, default=4)
+    p.add_argument("--sag_latent", type=int, default=512)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--sag_lr", type=float, default=3e-4)
     p.add_argument("--respacing", type=str, default="ddim100")
     p.add_argument("--skip", type=int, default=80)
     p.add_argument("--samples_per_window", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--audio_pool", type=int, default=8,
+                   help="shared audio streams paired orthogonally to modes "
+                        "(anti-memorisation; see synthetic_semantic_clips)")
+    p.add_argument("--artifacts", type=str, default="",
+                   help="directory to cache trained RAG/SAG params; reuse "
+                        "on re-runs (skip sweeps without retraining)")
+    p.add_argument("--skip_sweep", type=int, nargs="*", default=[],
+                   help="additional skip_timesteps values to score the "
+                        "full path at (diagnoses how much refinement "
+                        "erodes the sketch's semantic signal)")
     args = p.parse_args()
 
     import optax
@@ -92,10 +103,14 @@ def main():
 
     def fixture(tag, n_clips, seed):
         d = os.path.join(
-            tempfile.gettempdir(), f"ls_sem_{tag}_k{K}_n{n_clips}_s{seed}"
+            tempfile.gettempdir(),
+            f"ls_sem2_{tag}_k{K}_n{n_clips}_s{seed}_p{args.audio_pool}",
         )
         if not os.path.exists(os.path.join(d, "meta.json")):
-            build_semantic_ted_records(d, n_clips=n_clips, modes=K, seed=seed)
+            build_semantic_ted_records(
+                d, n_clips=n_clips, modes=K, seed=seed,
+                audio_pool=args.audio_pool,
+            )
         return TedWindowDataset(d)
 
     train_ds = fixture("train", args.train_clips, 233)
@@ -105,6 +120,23 @@ def main():
         f"K={K}",
         file=sys.stderr,
     )
+
+    from livelyspeaker_tpu.training.checkpoints import (
+        load_params_npz,
+        save_params_npz,
+    )
+
+    def cached(name, train_fn):
+        if args.artifacts:
+            path = os.path.join(args.artifacts, f"{name}.npz")
+            if os.path.exists(path):
+                print(f"loading cached {name} from {path}", file=sys.stderr)
+                return load_params_npz(path)
+            params = train_fn()
+            os.makedirs(args.artifacts, exist_ok=True)
+            save_params_npz(path, params)
+            return params
+        return train_fn()
 
     # ---- 1. train RAG -------------------------------------------------------
     cfg = RAGConfig(latent_dim=args.latent_dim, num_layers=args.layers)
@@ -130,30 +162,37 @@ def main():
     from livelyspeaker_tpu.diffusion import DiffusionSchedule
 
     sched = DiffusionSchedule.create(steps=1000, schedule="cosine")
-    tcfg = TrainConfig(lr=args.lr)
-    tx = make_optimizer(tcfg)
-    state = init_train_state(params, tx, cfg=tcfg, num_timesteps=1000)
-    step = jax.jit(make_train_step(model, sched, tx, tcfg), donate_argnums=0)
-    key, done, t0 = jax.random.PRNGKey(0), 0, time.time()
-    while done < args.rag_steps:
-        for batch in loader:
-            if done >= args.rag_steps:
-                break
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, m = step(state, dev, jax.random.fold_in(key, done))
-            done += 1
-    jax.block_until_ready(m["loss"])
-    rag_params = state.params
-    print(
-        f"RAG trained: {done} steps loss={float(m['loss']):.4f} "
-        f"({time.time() - t0:.0f}s)",
-        file=sys.stderr,
-    )
+
+    def train_rag():
+        tcfg = TrainConfig(lr=args.lr)
+        tx = make_optimizer(tcfg)
+        state = init_train_state(params, tx, cfg=tcfg, num_timesteps=1000)
+        step = jax.jit(
+            make_train_step(model, sched, tx, tcfg), donate_argnums=0
+        )
+        key, done, t0 = jax.random.PRNGKey(0), 0, time.time()
+        m = None
+        while done < args.rag_steps:
+            for batch in loader:
+                if done >= args.rag_steps:
+                    break
+                dev = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, m = step(state, dev, jax.random.fold_in(key, done))
+                done += 1
+        jax.block_until_ready(m["loss"])
+        print(
+            f"RAG trained: {done} steps loss={float(m['loss']):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            file=sys.stderr,
+        )
+        return state.params
+
+    rag_params = cached("rag", train_rag)
 
     # ---- 2. frozen text tower + SAG -----------------------------------------
     tokenizer = HashTokenizer()
     clip_model = CLIPTextEncoder(
-        CLIPTextConfig(layers=args.clip_layers, embed_dim=512)
+        CLIPTextConfig(layers=args.clip_layers, embed_dim=args.sag_latent)
     )
     clip_params = clip_model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
@@ -162,54 +201,62 @@ def main():
         lambda toks: clip_model.apply({"params": clip_params}, toks)
     )
 
-    sag = SAG(latent_dim=512)
-    sag_params = sag.init(
-        jax.random.PRNGKey(20), jnp.asarray(first["motion"])
-    )["params"]
-    stx = optax.adam(args.sag_lr)
-    sopt = stx.init(sag_params)
+    sag = SAG(latent_dim=args.sag_latent)
 
-    @jax.jit
-    def sag_step(sp, so, motion, text_feats, rng):
-        def loss_fn(pp):
-            out = sag.apply(
-                {"params": pp}, motion, deterministic=False,
-                rngs={"dropout": rng},
-            )
-            losses = sag_losses(
-                motion, out["output"], out["z"], text_feats, lam_cos=1.0
-            )
-            return losses["sum"], losses
+    def train_sag():
+        sag_params = sag.init(
+            jax.random.PRNGKey(20), jnp.asarray(first["motion"])
+        )["params"]
+        stx = optax.adam(args.sag_lr)
+        sopt = stx.init(sag_params)
 
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(sp)
-        updates, so2 = stx.update(grads, so, sp)
-        return optax.apply_updates(sp, updates), so2, losses
+        @jax.jit
+        def sag_step(sp, so, motion, text_feats, rng):
+            def loss_fn(pp):
+                out = sag.apply(
+                    {"params": pp}, motion, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                losses = sag_losses(
+                    motion, out["output"], out["z"], text_feats, lam_cos=1.0
+                )
+                return losses["sum"], losses
 
-    sag_loader = DataLoader(
-        train_ds,
-        batch_size=min(args.batch_size, len(train_ds)),
-        shuffle=True,
-        seed=34,
-        fields=("motion", "sentence"),
-    )
-    done, t0 = 0, time.time()
-    while done < args.sag_steps:
-        for batch in sag_loader:
-            if done >= args.sag_steps:
-                break
-            toks = jnp.asarray(tokenizer(list(batch["sentence"])))
-            tf = encode_text(toks)
-            sag_params, sopt, sl = sag_step(
-                sag_params, sopt, jnp.asarray(batch["motion"]), tf,
-                jax.random.fold_in(jax.random.PRNGKey(3), done),
-            )
-            done += 1
-    jax.block_until_ready(sl["sum"])
-    print(
-        f"SAG trained: {done} steps loss={float(sl['sum']):.4f} "
-        f"(cos={float(sl['clip_loss']):.4f}, {time.time() - t0:.0f}s)",
-        file=sys.stderr,
-    )
+            (loss, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(sp)
+            updates, so2 = stx.update(grads, so, sp)
+            return optax.apply_updates(sp, updates), so2, losses
+
+        sag_loader = DataLoader(
+            train_ds,
+            batch_size=min(args.batch_size, len(train_ds)),
+            shuffle=True,
+            seed=34,
+            fields=("motion", "sentence"),
+        )
+        done, t0 = 0, time.time()
+        sl = None
+        while done < args.sag_steps:
+            for batch in sag_loader:
+                if done >= args.sag_steps:
+                    break
+                toks = jnp.asarray(tokenizer(list(batch["sentence"])))
+                tf = encode_text(toks)
+                sag_params, sopt, sl = sag_step(
+                    sag_params, sopt, jnp.asarray(batch["motion"]), tf,
+                    jax.random.fold_in(jax.random.PRNGKey(3), done),
+                )
+                done += 1
+        jax.block_until_ready(sl["sum"])
+        print(
+            f"SAG trained: {done} steps loss={float(sl['sum']):.4f} "
+            f"(cos={float(sl['clip_loss']):.4f}, {time.time() - t0:.0f}s)",
+            file=sys.stderr,
+        )
+        return sag_params
+
+    sag_params = cached("sag", train_sag)
 
     # ---- 3. centroid classifier from TRAIN windows --------------------------
     train_all = train_ds.batch(
@@ -275,12 +322,47 @@ def main():
     sketch_recall = float((classify(np.asarray(sketch)) == test_modes).mean())
     print(f"sketch recall: {sketch_recall:.3f}", file=sys.stderr)
 
-    def run(path, guidance):
+    # x_t-sensitivity probe: q_sample REAL test motion to the skip-boundary
+    # noise level and classify the denoiser's one-shot x0 prediction.  If
+    # this is ~1.0 the denoiser preserves mode content carried by x_t and a
+    # low full-pipeline recall means the refinement loop erodes it; if it is
+    # ~chance the model learned x0 ~= f(cond) and ignores x_t at this t —
+    # the mechanism that decides whether ANY init_image signal can survive.
+    from livelyspeaker_tpu.diffusion.sampling import q_sample as _q_sample
+
+    t_boundary = int(1000 * (1.0 - args.skip / 100.0) * 0.999)  # ~skip edge
+    xb = _q_sample(
+        sched,
+        jnp.asarray(test_all["motion"]),
+        jnp.full((len(test_ds),), t_boundary, jnp.int32),
+        jax.random.normal(jax.random.PRNGKey(5),
+                          jnp.asarray(test_all["motion"]).shape),
+    )
+    x0_hat = model.apply(
+        {"params": rag_params}, xb,
+        jnp.full((len(test_ds),), t_boundary, jnp.int32),
+        cond, train=False, rngs={"style": jax.random.PRNGKey(6)},
+    )["output"]
+    probe_recall = float((classify(np.asarray(x0_hat)) == test_modes).mean())
+    print(
+        f"x0-hat recall at t={t_boundary} (x_t from REAL motion): "
+        f"{probe_recall:.3f}",
+        file=sys.stderr,
+    )
+
+    def run(path, guidance, skip=None):
         gens = []
         for s in range(args.samples_per_window):
             rng = jax.random.fold_in(jax.random.PRNGKey(99), s)
             if path == "full":
-                g = pipe(sentences, cond, rng, guidance=guidance)
+                if skip is not None and skip != pipe.skip_timesteps:
+                    sk = pipe.semantic_sketch(sentences, cond["origin_x"])
+                    g = pipe.rag_sampler(
+                        cond, rng, guidance=guidance,
+                        skip_timesteps=skip, init_image=sk,
+                    )
+                else:
+                    g = pipe(sentences, cond, rng, guidance=guidance)
             else:
                 g = rag_sampler(cond, rng, guidance=guidance)
             gens.append(np.asarray(g))
@@ -299,7 +381,7 @@ def main():
                     )
                 )
             )
-        return {
+        row = {
             "path": path,
             "guidance": guidance,
             "mode_recall": round(recall, 4),
@@ -307,11 +389,15 @@ def main():
             "cond_fgd_mean": round(float(np.mean(cond_fgds)), 6),
             "cond_fgd_per_mode": [round(v, 6) for v in cond_fgds],
         }
+        if skip is not None:
+            row["skip"] = skip
+        return row
 
     header = {
         "modes": K,
         "classifier_acc_on_real": round(real_acc, 4),
         "sketch_recall": round(sketch_recall, 4),
+        "x0hat_recall_at_boundary": round(probe_recall, 4),
         "chance_recall": round(1.0 / K, 4),
         "n_test_windows": len(test_ds),
         "samples_per_window": args.samples_per_window,
@@ -319,8 +405,11 @@ def main():
     print(json.dumps(header))
     for guidance in (1.0, 1.5):
         for path in ("rag", "full"):
-            row = run(path, guidance)
+            row = run(path, guidance, skip=args.skip if path == "full"
+                      else None)
             print(json.dumps(row))
+    for skip in args.skip_sweep:
+        print(json.dumps(run("full", 1.0, skip=skip)))
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ def sh(args, **kw):
 def train_cmd(save_dir, epochs, data_dir, a, resume=False):
     cmd = [
         sys.executable, "scripts/train_rag.py",
-        "--dataset", "ted", "--data_dir", data_dir,
+        "--dataset", a.dataset, "--data_dir", data_dir,
         "--latent_dim", str(a.latent_dim), "--layers", str(a.layers),
         "--batch_size", str(a.batch_size), "--epochs", str(epochs),
         "--save_dir", save_dir, "--save_interval", str(a.save_interval),
@@ -93,24 +93,38 @@ def main():
     p.add_argument("--audio_bf16", action="store_true",
                    help="soak with the bf16 WavEncoder (DESIGN §16)")
     p.add_argument("--out", type=str, default="/tmp/soak_flagship")
+    p.add_argument("--dataset", type=str, default="ted",
+                   choices=["ted", "beat"],
+                   help="beat soaks the scripts_beat protocol: 47x6 rot6d, "
+                        "seq 36, emotion token, kld weight 0 "
+                        "(scripts_beat/train_RAG.py)")
     a = p.parse_args()
 
     os.makedirs(a.out, exist_ok=True)
-    data_dir = os.path.join(a.out, "records")
+    data_dir = os.path.join(a.out, f"records_{a.dataset}")
     if not os.path.exists(os.path.join(data_dir, "meta.json")):
-        from livelyspeaker_tpu.data.synthetic import (
-            build_synthetic_ted_records,
-        )
-        from livelyspeaker_tpu.data.ted import TedConfig
-
         print(f"building {a.n_clips}-clip synthetic records...",
               file=sys.stderr)
-        # PCM16 records (the production storage format): half the staging
-        # bytes; audio decodes on device in WavEncoder
-        build_synthetic_ted_records(
-            data_dir, n_clips=a.n_clips, clip_seconds=20,
-            cfg=TedConfig(audio_dtype="int16"),
-        )
+        if a.dataset == "beat":
+            from livelyspeaker_tpu.data.synthetic import (
+                build_synthetic_beat_records,
+            )
+
+            build_synthetic_beat_records(
+                data_dir, n_clips=a.n_clips, clip_seconds=20
+            )
+        else:
+            from livelyspeaker_tpu.data.synthetic import (
+                build_synthetic_ted_records,
+            )
+            from livelyspeaker_tpu.data.ted import TedConfig
+
+            # PCM16 records (the production storage format): half the
+            # staging bytes; audio decodes on device in WavEncoder
+            build_synthetic_ted_records(
+                data_dir, n_clips=a.n_clips, clip_seconds=20,
+                cfg=TedConfig(audio_dtype="int16"),
+            )
 
     t0 = time.time()
     full_dir, split_dir = f"{a.out}/full", f"{a.out}/split"
@@ -140,17 +154,32 @@ def main():
     import jax.numpy as jnp
 
     from eval_common import fixture_fgd
-    from livelyspeaker_tpu.data import TedWindowDataset
     from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
     from livelyspeaker_tpu.models import RAG, RAGConfig
     from livelyspeaker_tpu.models.embedding_net import TedEmbeddingEncoder
 
-    dataset = TedWindowDataset(data_dir)
-    cfg = RAGConfig.ted(latent_dim=a.latent_dim, num_layers=a.layers)
+    if a.dataset == "beat":
+        from livelyspeaker_tpu.data.beat import BeatWindowDataset
+
+        dataset = BeatWindowDataset(data_dir)
+        cfg = RAGConfig.beat(
+            njoints=dataset.cfg.njoints,
+            latent_dim=a.latent_dim,
+            num_layers=a.layers,
+        )
+    else:
+        from livelyspeaker_tpu.data import TedWindowDataset
+
+        dataset = TedWindowDataset(data_dir)
+        cfg = RAGConfig.ted(latent_dim=a.latent_dim, num_layers=a.layers)
     model = RAG(cfg)
-    enc = TedEmbeddingEncoder()
+    pose_dim = cfg.njoints * cfg.nfeats
+    enc = TedEmbeddingEncoder(pose_dim=pose_dim)
     fixture = EmbeddingSpaceEvaluator(
-        enc.init(jax.random.PRNGKey(11), jnp.zeros((1, 34, 27)))["params"]
+        enc.init(
+            jax.random.PRNGKey(11), jnp.zeros((1, cfg.nframes, pose_dim))
+        )["params"],
+        pose_dim=pose_dim,
     )
 
     fgd_raw = fixture_fgd(model, dataset, final_npz(full_dir), fixture)
