@@ -59,15 +59,36 @@ def synthetic_clips(
     n_speakers: int = 4,
     seed: int = 233,
     modes: int = 0,
+    mode_blind: bool = False,
 ) -> Iterable[Dict]:
     """With ``modes=K>0`` the motion distribution is conditionally
     MULTIMODAL: each clip follows one of K fixed sinusoid archetypes (cycled
     per clip, independent of audio/speaker), plus small per-clip noise.
     The conditioning cannot identify the archetype, so p(motion | cond) has
     K distinct modes — the regime where few-step deterministic samplers
-    degrade by averaging modes (used by the distillation quality study)."""
+    degrade by averaging modes (used by the distillation quality study).
+
+    ``mode_blind=True`` additionally removes two side channels that let a
+    memorising model identify the archetype without reading x_t (the same
+    leaks the semantic fixture closed, see :func:`synthetic_semantic_clips`):
+    unique per-clip audio becomes a shared pool paired orthogonally to the
+    mode (stream (c//modes) % n, so every stream co-occurs with every mode),
+    and the speaker id — which with the default n_speakers == modes cycling
+    equals ``c % modes``, i.e. the mode itself — is drawn from ``c //
+    modes`` instead.  Default False preserves the historical fixtures
+    byte-for-byte."""
     rng = np.random.default_rng(seed)
     mean_dv = MEAN_DIR_VEC.reshape(9, 3)
+    audio_pool: List[np.ndarray] = []
+    if mode_blind:
+        arng = np.random.default_rng(seed + 5000)
+        n_audio = int(clip_seconds * 16000)
+        tg_a = np.linspace(0, clip_seconds, n_audio, endpoint=False)
+        am = (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * tg_a)).astype(np.float32)
+        audio_pool = [
+            (0.1 * arng.normal(size=n_audio)).astype(np.float32) * am
+            for _ in range(max(n_speakers, 2))
+        ]
     for c in range(n_clips):
         n_frames = int(clip_seconds * native_fps)
         # Perturb the mean direction vectors smoothly, renormalise.
@@ -86,14 +107,17 @@ def synthetic_clips(
         dv /= np.maximum(np.linalg.norm(dv, axis=-1, keepdims=True), 1e-9)
         skeletons = _skeleton_from_dir_vecs(dv)
 
-        audio = (
-            0.1 * rng.normal(size=int(clip_seconds * 16000))
-        ).astype(np.float32)
-        # speech-ish amplitude modulation
-        tgrid = np.linspace(0, clip_seconds, len(audio), endpoint=False)
-        audio *= (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * tgrid)).astype(
-            np.float32
-        )
+        if mode_blind:
+            audio = audio_pool[(c // max(modes, 1)) % len(audio_pool)]
+        else:
+            audio = (
+                0.1 * rng.normal(size=int(clip_seconds * 16000))
+            ).astype(np.float32)
+            # speech-ish amplitude modulation
+            tgrid = np.linspace(0, clip_seconds, len(audio), endpoint=False)
+            audio *= (
+                0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * tgrid)
+            ).astype(np.float32)
 
         words: List = []
         t0 = 0.2
@@ -102,8 +126,9 @@ def synthetic_clips(
             words.append([str(rng.choice(_WORDS)), t0, t0 + dur])
             t0 += dur + float(rng.uniform(0.02, 0.2))
 
+        spk = (c // max(modes, 1)) if mode_blind else c
         yield {
-            "vid": f"speaker_{c % n_speakers:03d}",
+            "vid": f"speaker_{spk % n_speakers:03d}",
             "skeletons": skeletons,
             "audio": audio,
             "words": words,
@@ -159,13 +184,14 @@ def build_synthetic_ted_records(
     seed: int = 233,
     cfg: TedConfig | None = None,
     modes: int = 0,
+    mode_blind: bool = False,
 ):
     cfg = cfg or TedConfig()
     n, vocab = build_ted_records(
         cfg,
         synthetic_clips(
             n_clips=n_clips, clip_seconds=clip_seconds, seed=seed,
-            modes=modes,
+            modes=modes, mode_blind=mode_blind,
         ),
         out_dir,
         disable_filtering=False,

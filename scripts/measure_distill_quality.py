@@ -55,6 +55,14 @@ def main():
                         "posterior is then genuinely K-modal — the round-3 "
                         "analysis (DESIGN §9) showed 4 seed frames collapse "
                         "it, hiding any step-count sensitivity")
+    p.add_argument("--mode_blind", action="store_true",
+                   help="close the remaining mode side channels in the "
+                        "--modes fixture: pool audio orthogonally to the "
+                        "mode and decorrelate the speaker id (which equals "
+                        "c %% modes when n_speakers == modes — a total "
+                        "leak); see synthetic_clips(mode_blind=True)")
+    p.add_argument("--n_clips", type=int, default=0,
+                   help="override the fixture clip count (default 4*modes)")
     args = p.parse_args()
 
     import optax
@@ -76,13 +84,16 @@ def main():
     )
 
     if args.modes:
+        blind = "b" if args.mode_blind else ""
+        n_clips = args.n_clips or 4 * args.modes
         data_dir = os.path.join(
-            tempfile.gettempdir(), f"ls_tpu_synth_m{args.modes}"
+            tempfile.gettempdir(),
+            f"ls_tpu_synth_m{args.modes}{blind}_n{n_clips}",
         )
         if not os.path.exists(os.path.join(data_dir, "meta.json")):
             build_synthetic_ted_records(
-                data_dir, n_clips=4 * args.modes, clip_seconds=20,
-                modes=args.modes,
+                data_dir, n_clips=n_clips, clip_seconds=20,
+                modes=args.modes, mode_blind=args.mode_blind,
             )
     else:
         data_dir = os.path.join(tempfile.gettempdir(), "ls_tpu_synth")

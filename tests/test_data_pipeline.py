@@ -278,3 +278,32 @@ def test_vocab_trim_save_load_and_npz_vectors(tmp_path):
     np.testing.assert_array_equal(
         v2.word_embedding_weights[v2.word2index["apple"]], vecs["apple"]
     )
+
+
+def test_mode_blind_fixture_closes_side_channels():
+    """mode_blind=True removes every non-motion mode identifier: audio is
+    drawn from a pool paired orthogonally to the mode and the speaker id is
+    independent of c % modes (which the default cycling makes EQUAL to the
+    mode when n_speakers == modes); default False is byte-identical to the
+    historical fixture."""
+    from livelyspeaker_tpu.data.synthetic import synthetic_clips
+
+    K = 4
+    blind = list(synthetic_clips(n_clips=16, clip_seconds=2.0, modes=K,
+                                 mode_blind=True))
+    # audio: clips c and c+1 have different modes but the same pool stream
+    for c in range(0, 16 - K, K):
+        np.testing.assert_array_equal(blind[c]["audio"],
+                                      blind[c + 1]["audio"])
+    # speaker: within one pool group the speaker is constant across modes,
+    # so speaker does not determine the mode
+    assert blind[0]["vid"] == blind[1]["vid"]
+    assert blind[0]["vid"] != blind[K]["vid"]
+
+    # default path unchanged: unique audio per clip, vid cycles with c
+    legacy = list(synthetic_clips(n_clips=8, clip_seconds=2.0, modes=K))
+    assert not np.array_equal(legacy[0]["audio"], legacy[1]["audio"])
+    assert legacy[0]["vid"] == "speaker_000" and legacy[1]["vid"] == "speaker_001"
+    legacy2 = list(synthetic_clips(n_clips=8, clip_seconds=2.0, modes=K))
+    np.testing.assert_array_equal(legacy[3]["audio"], legacy2[3]["audio"])
+    np.testing.assert_array_equal(legacy[3]["skeletons"], legacy2[3]["skeletons"])
