@@ -68,6 +68,7 @@ def main():
     import optax
 
     from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
+    from livelyspeaker_tpu.data.loader import DeviceDataLoader
     from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records
     from livelyspeaker_tpu.diffusion import (
         DiffusionSchedule,
@@ -100,7 +101,10 @@ def main():
         if not os.path.exists(os.path.join(data_dir, "meta.json")):
             build_synthetic_ted_records(data_dir, n_clips=8, clip_seconds=20)
     dataset = TedWindowDataset(data_dir)
-    loader = DataLoader(
+    # Device-resident batching: the synthetic fixtures fit HBM trivially and
+    # the streaming loader is transfer-bound on remote-dispatch hosts
+    # (~0.3 s/step vs ~0.02 — see DeviceDataLoader).
+    loader = DeviceDataLoader(
         dataset,
         batch_size=min(args.batch_size, len(dataset)),
         shuffle=True,
@@ -136,8 +140,7 @@ def main():
         for batch in loader:
             if done >= args.train_steps:
                 break
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, m = step(state, dev, jax.random.fold_in(key, done))
+            state, m = step(state, batch, jax.random.fold_in(key, done))
             done += 1
     jax.block_until_ready(m["loss"])
     teacher = state.params
@@ -160,9 +163,9 @@ def main():
             for batch in loader:
                 if done >= args.distill_steps:
                     break
-                dev = {k: jnp.asarray(v) for k, v in batch.items()}
                 opt_state, student, dm = dstep(
-                    opt_state, student, dev, jax.random.fold_in(key, 10_000 + rnd * 100_000 + done)
+                    opt_state, student, batch,
+                    jax.random.fold_in(key, 10_000 + rnd * 100_000 + done),
                 )
                 done += 1
         jax.block_until_ready(dm["loss"])
