@@ -80,6 +80,12 @@ def main():
                    help="additional skip_timesteps values to score the "
                         "full path at (diagnoses how much refinement "
                         "erodes the sketch's semantic signal)")
+    p.add_argument("--trajectory", action="store_true",
+                   help="per-step erosion curve: classify the denoiser's "
+                        "pred_xstart at every refinement step of the "
+                        "skip=SKIP full path (return_trajectory of "
+                        "sampling.sample_loop) — localises WHERE in the "
+                        "20-step chain the sketch signal decays")
     args = p.parse_args()
 
     import optax
@@ -419,6 +425,38 @@ def main():
             print(json.dumps(row))
     for skip in args.skip_sweep:
         print(json.dumps(run("full", 1.0, skip=skip)))
+
+    if args.trajectory:
+        # Per-step erosion curve: run the skip=SKIP refinement once with
+        # return_trajectory='pred_xstart' and classify the denoiser's x0
+        # prediction at every step.  Step 0 is the first refinement step
+        # (highest t); the curve localises where the 20-step chain loses
+        # the sketch's mode signal.
+        from livelyspeaker_tpu.diffusion import sample_loop
+        from livelyspeaker_tpu.models import make_cfg_denoiser
+
+        spaced = pipe.rag_sampler.sched
+        shape = tuple(np.asarray(sketch).shape)
+
+        @jax.jit
+        def traj_fn(rng):
+            denoise = make_cfg_denoiser(model, rag_params, cond, 1.0)
+            return sample_loop(
+                denoise, spaced, shape, rng, method="ddim",
+                skip_timesteps=args.skip, init_image=jnp.asarray(sketch),
+                return_trajectory="pred_xstart",
+            )[1]
+
+        traj = np.asarray(traj_fn(jax.random.PRNGKey(99)))  # [S, B, J, F, T]
+        curve = [
+            round(float((classify(traj[s]) == test_modes).mean()), 4)
+            for s in range(traj.shape[0])
+        ]
+        print(json.dumps({
+            "trajectory_skip": args.skip,
+            "guidance": 1.0,
+            "x0hat_recall_per_step": curve,
+        }))
 
 
 if __name__ == "__main__":
