@@ -105,26 +105,31 @@ def main():
     if not os.path.exists(os.path.join(data_dir, "meta.json")):
         print(f"building {a.n_clips}-clip synthetic records...",
               file=sys.stderr)
+        # Build in a CPU-pinned subprocess: the builders route rot6d /
+        # resampling math through jax, and on remote-dispatch (tunneled)
+        # backends that turns a seconds-long preprocessing job into a
+        # many-minute stall of tiny device round-trips. Preprocessing is
+        # host work; only the training subprocesses below need the TPU.
         if a.dataset == "beat":
-            from livelyspeaker_tpu.data.synthetic import (
-                build_synthetic_beat_records,
-            )
-
-            build_synthetic_beat_records(
-                data_dir, n_clips=a.n_clips, clip_seconds=20
+            build_src = (
+                "from livelyspeaker_tpu.data.synthetic import "
+                "build_synthetic_beat_records as b; "
+                f"b({data_dir!r}, n_clips={a.n_clips}, clip_seconds=20)"
             )
         else:
-            from livelyspeaker_tpu.data.synthetic import (
-                build_synthetic_ted_records,
-            )
-            from livelyspeaker_tpu.data.ted import TedConfig
-
             # PCM16 records (the production storage format): half the
             # staging bytes; audio decodes on device in WavEncoder
-            build_synthetic_ted_records(
-                data_dir, n_clips=a.n_clips, clip_seconds=20,
-                cfg=TedConfig(audio_dtype="int16"),
+            build_src = (
+                "from livelyspeaker_tpu.data.synthetic import "
+                "build_synthetic_ted_records as b; "
+                "from livelyspeaker_tpu.data.ted import TedConfig; "
+                f"b({data_dir!r}, n_clips={a.n_clips}, clip_seconds=20, "
+                "cfg=TedConfig(audio_dtype='int16'))"
             )
+        env = dict(os.environ, LS_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+        sh([sys.executable, "-c",
+            "from livelyspeaker_tpu.utils.jax_setup import setup; setup(); "
+            + build_src], env=env)
 
     t0 = time.time()
     full_dir, split_dir = f"{a.out}/full", f"{a.out}/split"
