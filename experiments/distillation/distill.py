@@ -9,8 +9,16 @@ DPM-Solver++ already gives a training-free 20-step path (docs/DESIGN.md §9),
 this is the training-based lever below that (the retrieved fast-sampling
 papers — consistency / rectified-flow models — all build on this idea).
 
-No reference counterpart (the reference only has DDIM/PLMS respacing);
-included because sampling depth is THE throughput lever for this workload.
+No reference counterpart (the reference only has DDIM/PLMS respacing).
+
+STATUS: demoted to ``experiments/`` after four measured operating points
+(rounds 2-4) found NO headroom on this workload — the x0-parameterised
+denoiser is step-count-insensitive under DDIM on every fixture tried,
+including a genuinely multimodal posterior with seed-frame conditioning
+disabled, so students only add fine-tuning drift. See README.md in this
+directory and docs/DESIGN.md §9 for the numbers; the math stays
+oracle-identity-tested (tests/test_distill.py). dpmpp-20 is the
+production fast path.
 
 Pure functions + a jitted train step, mirroring trainer.py's structure.
 """
@@ -23,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .sampling import extract, q_sample
-from .schedule import DiffusionSchedule
+from livelyspeaker_tpu.diffusion.sampling import extract, q_sample
+from livelyspeaker_tpu.diffusion.schedule import DiffusionSchedule
 
 __all__ = ["distill_targets", "make_distill_step"]
 

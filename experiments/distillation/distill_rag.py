@@ -19,7 +19,8 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+_ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
+sys.path.insert(0, _ROOT)
 
 from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
 _jax_setup()
@@ -50,10 +51,9 @@ def main():
     import jax.numpy as jnp
 
     from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
-    from livelyspeaker_tpu.diffusion import (
-        DiffusionSchedule,
-        make_distill_step,
-    )
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule
+
+    from experiments.distillation.distill import make_distill_step
     from livelyspeaker_tpu.models import RAG, RAGConfig
     from livelyspeaker_tpu.training.checkpoints import (
         load_args,

@@ -21,7 +21,9 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+_ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "scripts"))
 
 from livelyspeaker_tpu.utils.jax_setup import setup as _jax_setup
 _jax_setup()
@@ -70,10 +72,9 @@ def main():
     from livelyspeaker_tpu.data import DataLoader, TedWindowDataset
     from livelyspeaker_tpu.data.loader import DeviceDataLoader
     from livelyspeaker_tpu.data.synthetic import build_synthetic_ted_records
-    from livelyspeaker_tpu.diffusion import (
-        DiffusionSchedule,
-        make_distill_step,
-    )
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule
+
+    from experiments.distillation.distill import make_distill_step
     from livelyspeaker_tpu.eval import EmbeddingSpaceEvaluator
     from livelyspeaker_tpu.models import RAG, RAGConfig
     from livelyspeaker_tpu.pipeline import RAGSampler

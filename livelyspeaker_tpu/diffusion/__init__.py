@@ -11,10 +11,6 @@ from .schedule import (
     get_named_beta_schedule,
     space_timesteps,
 )
-from .distill import (
-    distill_targets,
-    make_distill_step,
-)
 from .sampling import (
     Inpainting,
     MeanType,
