@@ -7,12 +7,15 @@ makes the student the next teacher (Salimans & Ho 2022). Starting from the
 eval grid (ddim100) two rounds give a 25-step sampler; combine with
 ``--sampler dpmpp`` at inference for further gains.
 
-    python scripts/distill_rag.py --model_path save/RAG/model*.npz \
+    python experiments/distillation/distill_rag.py \
+        --model_path save/RAG/model*.npz \
         --data_dir datasets/ted_records --save_dir save/RAG_distilled \
         --start_grid 100 --rounds 2 --steps_per_round 2000
 
 No reference counterpart (the reference only respaces); see
-livelyspeaker_tpu/diffusion/distill.py for the math and tests.
+experiments/distillation/distill.py for the math (oracle-identity-tested in
+tests/test_distill.py) and experiments/distillation/README.md for the four
+measured negatives that demoted this machinery from the package proper.
 """
 
 import argparse

@@ -47,8 +47,11 @@ def parse_args():
     g.add_argument("--respacing", type=str, default="ddim100")
     g.add_argument("--guidance", type=float, default=1.5)
     g.add_argument("--speaker", type=int, default=1)
-    g.add_argument("--with_random_baseline", action="store_true",
-                   default=True)
+    g.add_argument("--with_random_baseline",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="also score a random-init model for context "
+                        "(--no-with_random_baseline to skip the extra "
+                        "generation)")
     g.add_argument("--max_ratio", type=float, default=0.0,
                    help="fail if trained seam ratio_p95 exceeds this "
                         "(0 = report only)")
@@ -130,11 +133,18 @@ def main():
             f"{json.dumps(score(model, rand, args, audio), sort_keys=True)}"
         )
 
-    if args.max_ratio and trained["ratio_p95"] > args.max_ratio:
-        raise SystemExit(
-            f"seam ratio_p95 {trained['ratio_p95']:.3f} > bound "
-            f"{args.max_ratio}"
-        )
+    if args.max_ratio:
+        p95 = trained["ratio_p95"]
+        if trained["n_seams"] < 1 or not np.isfinite(p95):
+            raise SystemExit(
+                f"--max_ratio gate needs at least one seam to measure "
+                f"(n_seams={trained['n_seams']}, ratio_p95={p95}); "
+                f"increase --seconds"
+            )
+        if p95 > args.max_ratio:
+            raise SystemExit(
+                f"seam ratio_p95 {p95:.3f} > bound {args.max_ratio}"
+            )
 
 
 if __name__ == "__main__":

@@ -155,31 +155,33 @@ def main():
     # ---- 1. train RAG -------------------------------------------------------
     cfg = RAGConfig(latent_dim=args.latent_dim, num_layers=args.layers)
     model = RAG(cfg)
-    # Device-resident batching (fixture fits HBM; the streaming loader is
-    # transfer-bound on remote-dispatch hosts: ~0.3 s/step vs ~0.02).
-    loader = DeviceDataLoader(
-        train_ds,
-        batch_size=min(args.batch_size, len(train_ds)),
-        shuffle=True,
-        seed=233,
-        fields=("motion", "audio", "vid"),
-    )
     first = train_ds.batch([0], fields=("motion", "audio", "vid"))
-    params = model.init(
-        {"params": jax.random.PRNGKey(10), "style": jax.random.PRNGKey(11),
-         "cond_mask": jax.random.PRNGKey(12)},
-        jnp.asarray(first["motion"]),
-        jnp.zeros((1,), jnp.int32),
-        {"audio": jnp.asarray(first["audio"]),
-         "vid": jnp.asarray(first["vid"]),
-         "origin_x": jnp.asarray(first["motion"])},
-        train=True,
-    )["params"]
     from livelyspeaker_tpu.diffusion import DiffusionSchedule
 
     sched = DiffusionSchedule.create(steps=1000, schedule="cosine")
 
     def train_rag():
+        # Device-resident batching (fixture fits HBM; the streaming loader is
+        # transfer-bound on remote-dispatch hosts: ~0.3 s/step vs ~0.02).
+        # Built here (not at module scope) so cached --artifacts re-runs
+        # don't stage the train set into HBM or init flagship params.
+        loader = DeviceDataLoader(
+            train_ds,
+            batch_size=min(args.batch_size, len(train_ds)),
+            shuffle=True,
+            seed=233,
+            fields=("motion", "audio", "vid"),
+        )
+        params = model.init(
+            {"params": jax.random.PRNGKey(10), "style": jax.random.PRNGKey(11),
+             "cond_mask": jax.random.PRNGKey(12)},
+            jnp.asarray(first["motion"]),
+            jnp.zeros((1,), jnp.int32),
+            {"audio": jnp.asarray(first["audio"]),
+             "vid": jnp.asarray(first["vid"]),
+             "origin_x": jnp.asarray(first["motion"])},
+            train=True,
+        )["params"]
         tcfg = TrainConfig(lr=args.lr)
         tx = make_optimizer(tcfg)
         state = init_train_state(params, tx, cfg=tcfg, num_timesteps=1000)
@@ -345,7 +347,13 @@ def main():
     # the mechanism that decides whether ANY init_image signal can survive.
     from livelyspeaker_tpu.diffusion.sampling import q_sample as _q_sample
 
-    t_boundary = int(1000 * (1.0 - args.skip / 100.0) * 0.999)  # ~skip edge
+    # The skip boundary in ORIGINAL-process timesteps: skip_timesteps is in
+    # respaced-grid units, so read the first executed index off the actual
+    # respacing map (sample_loop starts the reverse chain at respaced index
+    # num_timesteps - skip - 1) rather than assuming a 100-step grid.
+    _spaced = pipe.rag_sampler.sched
+    _idx_boundary = int(_spaced.num_timesteps) - args.skip - 1
+    t_boundary = int(np.asarray(_spaced.timestep_map)[_idx_boundary])
     xb = _q_sample(
         sched,
         jnp.asarray(test_all["motion"]),
