@@ -28,6 +28,7 @@ from typing import Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .cfg import _scheduled_scale as _cfg_scheduled_scale
 from .mlp_backbone import sinusoidal_table
 from .rag import RAG
 from ..ops.pallas.fused_mlp import (
@@ -176,9 +177,12 @@ def make_fused_cfg_denoiser(
     guidance_scale,
     *,
     batch_tile: int = 8,
+    guidance_schedule=None,
 ):
     """CFG denoiser closure on the fused fast path (drop-in for
-    cfg.make_cfg_denoiser).  All t-invariant work happens here, once."""
+    cfg.make_cfg_denoiser).  All t-invariant work happens here, once.
+    ``guidance_schedule`` modulates the scale per timestep exactly as in
+    cfg.make_cfg_denoiser (see cfg.make_guidance_schedule)."""
     b = cond["vid"].shape[0]
     audio_feats = model.apply(
         {"params": params}, cond["audio"], method=model.encode_audio
@@ -208,6 +212,7 @@ def make_fused_cfg_denoiser(
             batch_tile=batch_tile,
         )
         out_c, out_u = out[:b], out[b:]
-        return out_u + scale * (out_c - out_u)
+        s = _cfg_scheduled_scale(scale, guidance_schedule, t, b)
+        return out_u + s * (out_c - out_u)
 
     return denoise_fn

@@ -53,20 +53,41 @@ class RAGSampler:
         method: str = "ddim",
         use_fused: bool = False,
         mesh=None,
+        guidance_schedule: Optional[str] = None,
     ):
         self.model = model
         self.params = params
         self.method = method
         self.use_fused = use_fused
         self.mesh = mesh
+        self.guidance_schedule = guidance_schedule
         self.sched = DiffusionSchedule.create(
             steps=steps, schedule=schedule, timestep_respacing=timestep_respacing
         )
         self._jitted: Dict = {}
 
+    def _guidance_schedule_fn(self, skip_timesteps: int):
+        """Schedule callable normalised to the executed refinement window.
+
+        The boundary is the ORIGINAL-process timestep of the first executed
+        reverse step (sample_loop starts at respaced index T-skip-1 and the
+        denoiser sees timestep_map-remapped t, sampling.py:363), so 'linear'
+        and 'cosine' span exactly the steps that run, whatever the respacing
+        or skip."""
+        import numpy as np
+
+        from .models import make_guidance_schedule
+
+        idx = int(self.sched.num_timesteps) - int(skip_timesteps) - 1
+        assert 0 <= idx < int(self.sched.num_timesteps), (
+            skip_timesteps, self.sched.num_timesteps)
+        t_boundary = int(np.asarray(self.sched.timestep_map)[idx])
+        return make_guidance_schedule(self.guidance_schedule, t_boundary)
+
     def _build(self, skip_timesteps: int, with_init: bool, with_inpaint: bool,
                noised_inpaint: bool):
         c = self.model.cfg
+        gsched = self._guidance_schedule_fn(skip_timesteps)
 
         def fn(params, cond, guidance, rng, init_image, inpaint_mask,
                inpaint_motion):
@@ -75,10 +96,14 @@ class RAGSampler:
                 from .models.fast_rag import make_fused_cfg_denoiser
 
                 denoise = make_fused_cfg_denoiser(
-                    self.model, params, cond, guidance
+                    self.model, params, cond, guidance,
+                    guidance_schedule=gsched,
                 )
             else:
-                denoise = make_cfg_denoiser(self.model, params, cond, guidance)
+                denoise = make_cfg_denoiser(
+                    self.model, params, cond, guidance,
+                    guidance_schedule=gsched,
+                )
             inpainting = (
                 Inpainting(inpaint_mask, inpaint_motion, noised_inpaint)
                 if with_inpaint
@@ -204,6 +229,7 @@ class LivelySpeakerPipeline:
         skip_timesteps: int = 80,  # test_LivelySpeaker_ted.py:212
         method: str = "ddim",
         mesh=None,
+        guidance_schedule: Optional[str] = None,
     ):
         self.rag_sampler = RAGSampler(
             rag,
@@ -212,6 +238,7 @@ class LivelySpeakerPipeline:
             timestep_respacing=timestep_respacing,
             method=method,
             mesh=mesh,
+            guidance_schedule=guidance_schedule,
         )
         self.sag = sag
         self.sag_params = sag_params

@@ -118,6 +118,12 @@ def add_sampling_options(p: argparse.ArgumentParser):
     g.add_argument("--guidance_param", type=float, default=1.5)
     g.add_argument("--timestep_respacing", type=str, default="ddim100")
     g.add_argument("--skip_steps", type=int, default=0)
+    g.add_argument("--guidance_schedule", type=str, default=None,
+                   help="per-step CFG decay over the refinement window "
+                        "('const'|'linear'|'cosine'|'step:<t0>'); preserves "
+                        "the SAG sketch's semantic signal at guidance>1 — "
+                        "measured in scripts/measure_semantic_payoff.py "
+                        "(DESIGN §18-19)")
     g.add_argument("--sag_path", type=str, default="")
     g.add_argument("--clip_path", type=str, default="")
     g.add_argument("--bpe_path", type=str, default="")

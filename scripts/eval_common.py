@@ -122,6 +122,7 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
         skip_timesteps=(args.skip_steps
                         or 80),  # test_LivelySpeaker_beat.py:232
         mesh=mesh,
+        guidance_schedule=getattr(args, "guidance_schedule", None),
     )
 
 

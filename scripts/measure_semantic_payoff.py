@@ -80,6 +80,12 @@ def main():
                    help="additional skip_timesteps values to score the "
                         "full path at (diagnoses how much refinement "
                         "erodes the sketch's semantic signal)")
+    p.add_argument("--schedule_sweep", type=str, nargs="*", default=[],
+                   help="guidance schedules (e.g. linear cosine step:100) to "
+                        "score the full path at guidance 1.0/1.5 — tests "
+                        "whether per-step CFG decay rescues the semantic "
+                        "payoff that constant guidance 1.5 erases "
+                        "(DESIGN §18 finding 2)")
     p.add_argument("--trajectory", action="store_true",
                    help="per-step erosion curve: classify the denoiser's "
                         "pred_xstart at every refinement step of the "
@@ -353,6 +359,8 @@ def main():
     # num_timesteps - skip - 1) rather than assuming a 100-step grid.
     _spaced = pipe.rag_sampler.sched
     _idx_boundary = int(_spaced.num_timesteps) - args.skip - 1
+    assert 0 <= _idx_boundary < int(_spaced.num_timesteps), (
+        args.skip, _spaced.num_timesteps)
     t_boundary = int(np.asarray(_spaced.timestep_map)[_idx_boundary])
     xb = _q_sample(
         sched,
@@ -373,19 +381,30 @@ def main():
         file=sys.stderr,
     )
 
-    def run(path, guidance, skip=None):
+    def run(path, guidance, skip=None, schedule=None, _pipes={}):
+        use_pipe = pipe
+        if schedule is not None:
+            if schedule not in _pipes:
+                _pipes[schedule] = LivelySpeakerPipeline(
+                    model, rag_params, sag, sag_params, clip_model,
+                    clip_params, tokenizer, steps=1000,
+                    timestep_respacing=args.respacing,
+                    skip_timesteps=args.skip, method="ddim",
+                    guidance_schedule=schedule,
+                )
+            use_pipe = _pipes[schedule]
         gens = []
         for s in range(args.samples_per_window):
             rng = jax.random.fold_in(jax.random.PRNGKey(99), s)
             if path == "full":
-                if skip is not None and skip != pipe.skip_timesteps:
-                    sk = pipe.semantic_sketch(sentences, cond["origin_x"])
-                    g = pipe.rag_sampler(
+                if skip is not None and skip != use_pipe.skip_timesteps:
+                    sk = use_pipe.semantic_sketch(sentences, cond["origin_x"])
+                    g = use_pipe.rag_sampler(
                         cond, rng, guidance=guidance,
                         skip_timesteps=skip, init_image=sk,
                     )
                 else:
-                    g = pipe(sentences, cond, rng, guidance=guidance)
+                    g = use_pipe(sentences, cond, rng, guidance=guidance)
             else:
                 g = rag_sampler(cond, rng, guidance=guidance)
             gens.append(np.asarray(g))
@@ -414,6 +433,8 @@ def main():
         }
         if skip is not None:
             row["skip"] = skip
+        if schedule is not None:
+            row["guidance_schedule"] = schedule
         return row
 
     header = {
@@ -433,6 +454,11 @@ def main():
             print(json.dumps(row))
     for skip in args.skip_sweep:
         print(json.dumps(run("full", 1.0, skip=skip)))
+    for schedule in args.schedule_sweep:
+        for guidance in (1.0, 1.5):
+            print(json.dumps(
+                run("full", guidance, skip=args.skip, schedule=schedule)
+            ))
 
     if args.trajectory:
         # Per-step erosion curve: run the skip=SKIP refinement once with

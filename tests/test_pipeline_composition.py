@@ -220,3 +220,101 @@ def test_composition_mesh_matches_single_device(rng_np):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_guidance_schedule_weights():
+    """Schedule math: w(t) in [0,1], correct endpoints, const is a no-op."""
+    from livelyspeaker_tpu.models import make_guidance_schedule
+
+    assert make_guidance_schedule(None, 199) is None
+    assert make_guidance_schedule("const", 199) is None
+
+    t = jnp.asarray([0, 50, 100, 199, 250], jnp.int32)
+    lin = make_guidance_schedule("linear", 199)(t)
+    np.testing.assert_allclose(
+        np.asarray(lin), [0.0, 50 / 199, 100 / 199, 1.0, 1.0], rtol=1e-6
+    )
+    cos = make_guidance_schedule("cosine", 199)(t)
+    assert float(cos[0]) == 0.0 and float(cos[3]) == 1.0
+    assert np.all(np.diff(np.asarray(cos)) >= 0)  # monotone in t
+    step = make_guidance_schedule("step:100", 199)(t)
+    np.testing.assert_array_equal(np.asarray(step), [0, 0, 1, 1, 1])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_guidance_schedule("bogus", 199)
+
+
+def test_guidance_schedule_sampler_semantics(rng_np):
+    """RAGSampler(guidance_schedule=...): 'step:0' (w=1 everywhere) matches
+    the unscheduled path bit-for-bit; 'step:<above boundary>' (w=0
+    everywhere) matches guidance=1.0 unscheduled — the two analytic
+    endpoints of effective_scale = 1 + (scale-1)*w(t)."""
+    rag, rag_params, *_ , cond = _tiny_models(rng_np)
+    key = jax.random.PRNGKey(11)
+    kw = dict(steps=100, timestep_respacing="ddim10", method="ddim")
+
+    base = RAGSampler(rag, rag_params, **kw)
+    ref15 = base(cond, key, guidance=1.5)
+    ref10 = base(cond, key, guidance=1.0)
+
+    full = RAGSampler(rag, rag_params, guidance_schedule="step:0", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(full(cond, key, guidance=1.5)), np.asarray(ref15)
+    )
+    none = RAGSampler(rag, rag_params, guidance_schedule="step:1000", **kw)
+    np.testing.assert_allclose(
+        np.asarray(none(cond, key, guidance=1.5)), np.asarray(ref10),
+        rtol=1e-6, atol=1e-6,
+    )
+    # a real decaying schedule runs, is finite, and differs from both ends
+    lin = RAGSampler(rag, rag_params, guidance_schedule="linear", **kw)
+    out = np.asarray(lin(cond, key, guidance=1.5))
+    assert np.isfinite(out).all()
+    assert not np.allclose(out, np.asarray(ref15))
+    assert not np.allclose(out, np.asarray(ref10))
+
+
+def test_guidance_schedule_fused_matches_xla(rng_np):
+    """The fused-denoiser path applies the identical schedule modulation
+    (style eps pinned so both paths see the same noise)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from livelyspeaker_tpu.models import make_cfg_denoiser
+    from livelyspeaker_tpu.models import make_guidance_schedule
+    from livelyspeaker_tpu.models.fast_rag import make_fused_cfg_denoiser
+
+    cfg = RAGConfig.ted(latent_dim=128, num_layers=2)
+    rag = RAG(cfg)
+    cond = {
+        "audio": jnp.asarray(
+            rng_np.normal(size=(B, audio_samples_for_frames(T))).astype(
+                np.float32
+            )
+        ),
+        "vid": jnp.asarray(rng_np.integers(0, 1400, size=(B,))),
+        "origin_x": jnp.asarray(
+            rng_np.normal(size=(B, 9, 3, T)).astype(np.float32)
+        ),
+        "style_eps": jnp.zeros((B, 1, cfg.latent_dim)),
+    }
+    x = jnp.asarray(rng_np.normal(size=(B, 9, 3, T)).astype(np.float32))
+    t = jnp.asarray([7, 63], jnp.int32)
+    rag_params = rag.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        x, jnp.zeros((B,), jnp.int32), cond,
+    )["params"]
+
+    gs = make_guidance_schedule("linear", 99)
+    key = jax.random.PRNGKey(3)
+    ref = make_cfg_denoiser(rag, rag_params, cond, 1.5, guidance_schedule=gs)(
+        x, t, key
+    )
+    with pltpu.force_tpu_interpret_mode():
+        fused = make_fused_cfg_denoiser(
+            rag, rag_params, cond, 1.5, guidance_schedule=gs, batch_tile=4
+        )(x, t, key)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=5e-4
+    )
