@@ -174,8 +174,15 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng([self._seed, self.epoch]).shuffle(idx)
         self.epoch += 1
-        # Per-host shard of the global index stream (multi-host DP).
-        idx = idx[self.host_id :: self.num_hosts]
+        # Per-host shard of the global index stream (multi-host DP),
+        # truncated to the common per-host minimum: when num_hosts doesn't
+        # divide the dataset, strided shards differ by one index, and a
+        # host with the extra index can yield one MORE batch than its
+        # peers — the lockstep SPMD step then deadlocks on the ragged
+        # epoch tail (every process must execute the same program).
+        # Dropping <num_hosts trailing windows per epoch is the standard
+        # multi-host remedy; shuffle rotation re-exposes them next epoch.
+        idx = idx[self.host_id :: self.num_hosts][: n // self.num_hosts]
         return idx
 
     def __len__(self) -> int:

@@ -135,8 +135,12 @@ def _path_str(path) -> str:
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a param tree under the TP rules, falling back
-    to replication when a dim doesn't divide the mesh axis."""
-    model_size = mesh.shape[MODEL_AXIS]
+    to replication when a dim doesn't divide the mesh axis (or the mesh has
+    no 'model' axis at all, e.g. a ('data','stage') pipeline mesh)."""
+    model_size = mesh.shape.get(MODEL_AXIS, 0)
+    if not model_size:
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: rep, params)
 
     def one(path, leaf):
         spec = param_spec(_path_str(path), leaf)
@@ -180,6 +184,10 @@ def fsdp_param_shardings(params, mesh: Mesh, min_size: int = FSDP_MIN_SIZE):
     def one(path, leaf):
         spec = list(param_spec(_path_str(path), leaf))
         spec += [None] * (leaf.ndim - len(spec))
+        if MODEL_AXIS not in mesh.shape:
+            # meshes without a TP axis (e.g. ('data','stage')): drop the
+            # TP rule, keep the leaf eligible for the 'data' shard below
+            spec = [None if s == MODEL_AXIS else s for s in spec]
         for i, name in enumerate(spec):
             if name == MODEL_AXIS and (
                 i >= leaf.ndim or leaf.shape[i] % model_size

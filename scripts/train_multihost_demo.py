@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Two-process data-parallel training demo — the multi-host DCN path.
+"""N-process data-parallel training demo — the multi-host DCN path.
 
 Proves what the reference's dist_util only gestured at
 (``scripts/mdm_utils/dist_util.py:26-41``, commented-out MPI/NCCL init):
@@ -8,13 +8,17 @@ stream, jointly executing one global SPMD train step.  On CPU hosts the
 "DCN" is gRPC; on TPU pods the same code rides the real interconnect —
 only ``init_distributed``'s arguments change.
 
-Launch (2 processes on one machine, 4 virtual CPU devices each):
+Launch (N processes on one machine, e.g. 2, 4 virtual CPU devices each):
 
     python scripts/train_multihost_demo.py --process_id 0 &
     python scripts/train_multihost_demo.py --process_id 1
 
+(4 processes: add --num_processes 4 and launch --process_id 0..3.)
 Each process prints the per-step global loss; the printed values must be
-identical across processes (same global computation).
+identical across processes (same global computation).  When the window
+count doesn't divide the process count, the loader truncates every host
+shard to the common minimum so the epoch tail stays lockstep
+(data/loader.py) — exercised by tests/test_multihost.py at 4 processes.
 """
 
 import argparse
@@ -145,9 +149,24 @@ def main():
     step_fn = jax.jit(make_train_step(model, sched, tx, tcfg),
                       donate_argnums=0)
 
+    print(
+        f"[p{jax.process_index()}] {len(ds)} windows -> "
+        f"{len(loader)} local batches/epoch "
+        f"(host shard truncated to {len(ds) // jax.process_count()}; "
+        f"uneven={len(ds) % jax.process_count() != 0})",
+        flush=True,
+    )
+
     it = iter(loader)
     for step in range(args.steps):
-        local = next(it)
+        try:
+            local = next(it)
+        except StopIteration:
+            # Epoch rollover.  Safe in lockstep: the per-host shard is
+            # truncated to the common minimum (loader.py), so every
+            # process exhausts its epoch at the SAME step.
+            it = iter(loader)
+            local = next(it)
         gbatch = global_batch(local, mesh)  # [num_procs*local_batch, ...]
         state, metrics = step_fn(state, gbatch, jax.random.PRNGKey(step))
         loss = float(metrics["loss"])

@@ -72,12 +72,11 @@ def main():
         # per-block layout (replicated); the train step routes the backbone
         # through pipeline_forward via the backbone_factory hook, so
         # checkpoints/optimizer state are identical to the plain path.
-        if args.fused_train or args.fsdp:
+        if args.fused_train:
             raise SystemExit(
-                "--pipeline_parallel composes with plain DP only; drop "
-                "--fused_train/--fsdp (the fused kernel is single-chip and "
-                "FSDP's gathered-weight layout conflicts with the staged "
-                "stacked layout)"
+                "--pipeline_parallel does not compose with --fused_train "
+                "(the fused custom-VJP kernel is a single-chip whole-stack "
+                "program; the pipeline shards the stack over 'stage')"
             )
         if args.layers % pp:
             raise SystemExit(
@@ -169,6 +168,10 @@ def main():
     if getattr(args, "fsdp", False):
         # ZeRO-style: params (and, by sharding propagation, Adam moments +
         # the EMA shadow) live 1/|data| per device on top of the TP rules.
+        # Composes with --pipeline_parallel: the canonical tree stays
+        # 'data'-sharded (ZeRO memory), pipeline_forward's shard_map
+        # gathers+reshards the stacked copies over 'stage' at use sites
+        # (dryrun-validated at flagship shape, __graft_entry__.py).
         params = fsdp_shard_params(params, mesh)
     elif pp > 1:
         # Canonical layout replicated; pipeline_forward reshards the

@@ -180,3 +180,100 @@ def test_pipeline_train_step_matches_plain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5
         )
+
+
+def test_pipeline_composes_with_fsdp():
+    """--pipeline_parallel + --fsdp (round 5): the canonical tree stays
+    'data'-sharded (ZeRO memory) while pipeline_forward reshards the
+    stacked copies over 'stage'.  Loss must match the replicated-PP step
+    and the updated state must STAY 'data'-sharded."""
+    import optax
+
+    from livelyspeaker_tpu.diffusion import DiffusionSchedule
+    from livelyspeaker_tpu.models import (
+        RAG,
+        RAGConfig,
+        audio_samples_for_frames,
+    )
+    from livelyspeaker_tpu.parallel import (
+        fsdp_param_shardings,
+        make_pipeline_backbone_factory,
+        preserve_state_shardings,
+        replicated,
+    )
+    from livelyspeaker_tpu.training import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(5)
+    cfg = RAGConfig.ted(latent_dim=64, num_layers=4)
+    model = RAG(cfg)
+    B = 8
+    batch = {
+        "motion": jnp.asarray(
+            rng.normal(size=(B, 9, 3, 34)).astype(np.float32)
+        ),
+        "audio": jnp.asarray(
+            rng.normal(size=(B, audio_samples_for_frames(34))).astype(
+                np.float32
+            )
+        ),
+        "vid": jnp.asarray(rng.integers(0, cfg.n_speakers, size=(B,))),
+    }
+    params_host = jax.tree.map(
+        np.asarray,
+        model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "style": jax.random.PRNGKey(1),
+                "cond_mask": jax.random.PRNGKey(2),
+            },
+            batch["motion"],
+            jnp.zeros((B,), jnp.int32),
+            {"audio": batch["audio"], "vid": batch["vid"],
+             "origin_x": batch["motion"]},
+            train=True,
+        )["params"],
+    )
+    sched = DiffusionSchedule.create(steps=50, schedule="cosine")
+    tcfg = TrainConfig(lr=1e-3)
+    tx = optax.sgd(0.1)
+    mesh = create_pipeline_mesh(n_devices=8, pipeline_parallel=2)
+    step = make_train_step(
+        model, sched, tx, tcfg,
+        backbone_factory=make_pipeline_backbone_factory(
+            cfg, mesh, num_microbatches=2
+        ),
+    )
+    key = jax.random.PRNGKey(11)
+
+    rep_state = init_train_state(
+        jax.device_put(
+            jax.tree.map(jnp.asarray, params_host), replicated(mesh)
+        ),
+        tx,
+    )
+    _, m_rep = jax.jit(step)(rep_state, batch, key)
+
+    # min_size=1: the tiny test model's leaves must actually shard
+    sh = fsdp_param_shardings(params_host, mesh, min_size=1)
+    # the ('data','stage') mesh has no 'model' axis; specs must be valid
+    f_state = init_train_state(
+        jax.device_put(jax.tree.map(jnp.asarray, params_host), sh), tx
+    )
+    f2, m_f = jax.jit(
+        preserve_state_shardings(step, f_state), donate_argnums=0
+    )(f_state, batch, key)
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_rep["loss"]), rtol=1e-5
+    )
+    n_sharded = sum(
+        any(
+            "data" in (e if isinstance(e, tuple) else (e,))
+            for e in (getattr(l.sharding, "spec", None) or ())
+        )
+        for l in jax.tree.leaves(f2.params)
+    )
+    assert n_sharded > 0, "PP+FSDP left every param leaf replicated"
