@@ -23,6 +23,10 @@ __all__ = [
     "synthetic_semantic_clips",
     "build_semantic_ted_records",
     "semantic_mode_of_sentence",
+    "BEAT_SEM_ONSET",
+    "semantic_mode_of_sentence_prefix",
+    "synthetic_semantic_beat_clips",
+    "build_semantic_beat_records",
 ]
 
 _WORDS = (
@@ -347,3 +351,139 @@ def build_semantic_ted_records(
         disable_filtering=True,
     )
     return n, vocab
+
+
+def semantic_mode_of_sentence_prefix(sentence: str, modes: int) -> int:
+    """Mode matcher tolerant of clip-truncated sentences: the fixture's
+    sentence is the template cycled from word 0, so the archetype is
+    identified by the longest word-prefix agreement (template first words
+    are pairwise distinct, so even one word decides)."""
+    toks = sentence.split()
+    best, best_n = None, -1
+    for k in range(modes):
+        tpl = SEMANTIC_TEMPLATES[k].split()
+        n = 0
+        while n < len(toks) and tpl[n % len(tpl)] == toks[n]:
+            n += 1
+        if n > best_n:
+            best, best_n = k, n
+    if best_n <= 0:
+        raise ValueError(f"no template prefix in: {sentence!r}")
+    return best
+
+
+# --- BEAT semantic fixture (round 5) ----------------------------------------
+#: Frame (at 15 fps) where the BEAT archetype signal is fully ramped in; the
+#: first SEM_ONSET frames (seed frames included) are mode-blind, and the
+#: per-frame `sem` track marks exactly the frames carrying the signal — so
+#: SRGR (scripts_beat/utils/metric.py:27-51) weights precisely the
+#: semantically-relevant frames, the metric's design intent.
+BEAT_SEM_ONSET = 12
+
+
+def synthetic_semantic_beat_clips(
+    n_clips: int = 32,
+    modes: int = 4,
+    seed: int = 233,
+    audio_pool: int = 8,
+    cfg=None,
+) -> Iterable[Dict]:
+    """BEAT twin of :func:`synthetic_semantic_clips`: text identifies the
+    motion archetype, every other conditioning channel is mode-blind.
+
+    One ``pose_length``-frame window per clip with archetype ``k = c % modes``
+    in 141-d euler-degree space:
+      * frames < BEAT_SEM_ONSET: shared-pool smooth wobble only (the eval
+        protocol's 4 seed frames carry NO mode information);
+      * frames BEAT_SEM_ONSET..+4: a fixed per-mode sinusoid archetype
+        (rng 3000+k over the 141 euler dims, 12-25 deg amplitude) ramps in —
+        large vs the 3 deg wobble so the SRGR threshold (sum-|euler-diff| <
+        4 deg per joint, metric.py:40-44) separates right-mode from
+        wrong-mode generations;
+      * `sem`: 0.05 before the onset, 0.9 after — the semantic frames;
+      * audio / dominant wobble: shared ``audio_pool`` streams paired
+        orthogonally to the mode (anti-memorisation, see the TED fixture);
+      * speaker (vid in {2,4,6,8}) and emotion (0..7) cycle with the pool
+        group, independent of the mode;
+      * words: the mode's SEMANTIC_TEMPLATES sentence, timed.
+    """
+    from .beat import BeatConfig
+
+    cfg = cfg or BeatConfig()
+    assert modes <= len(SEMANTIC_TEMPLATES), (modes, len(SEMANTIC_TEMPLATES))
+    rng = np.random.default_rng(seed)
+    n_frames = cfg.pose_length
+    clip_seconds = n_frames / cfg.pose_fps
+    n_audio = int(np.ceil(clip_seconds * cfg.sr))
+    arng = np.random.default_rng(seed + 5000)
+    ts = np.linspace(0, clip_seconds, n_audio, endpoint=False)
+    am = (0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * ts)).astype(np.float32)
+    pool = [
+        (0.1 * arng.normal(size=n_audio)).astype(np.float32) * am
+        for _ in range(max(audio_pool, 1))
+    ]
+    wrng = np.random.default_rng(seed + 7000)
+    wob_pool = [
+        _smooth_noise(wrng, n_frames, cfg.pose_dims, cfg.pose_fps)
+        for _ in range(max(audio_pool, 1))
+    ]
+    tg = (np.arange(n_frames) / cfg.pose_fps)[:, None]  # seconds
+    onset = np.clip((np.arange(n_frames) - BEAT_SEM_ONSET) / 4.0, 0.0, 1.0)
+    sem = np.where(onset > 0, 0.9, 0.05).astype(np.float32)
+    for c in range(n_clips):
+        k = c % modes
+        group = c // modes
+        wob = (
+            0.75 * wob_pool[group % len(wob_pool)]
+            + 0.25 * _smooth_noise(rng, n_frames, cfg.pose_dims, cfg.pose_fps)
+        )
+        mrng = np.random.default_rng(3000 + k)
+        f = mrng.uniform(0.3, 1.2, size=cfg.pose_dims)
+        ph = mrng.uniform(0, 2 * np.pi, size=cfg.pose_dims)
+        amp = mrng.uniform(12.0, 25.0, size=cfg.pose_dims)
+        arch = amp[None] * np.sin(2 * np.pi * f[None] * tg + ph[None])
+        euler = (3.0 * wob + onset[:, None] * arch).astype(np.float32)
+
+        # Faster cadence than the TED fixture: the 2.27 s clip must fit
+        # enough of the template for the window sentence to identify the
+        # mode (semantic_mode_of_sentence_prefix matches word prefixes;
+        # template FIRST words are pairwise distinct).
+        words: List = []
+        t0 = 0.15
+        template = SEMANTIC_TEMPLATES[k].split()
+        i = 0
+        while t0 < clip_seconds - 0.3:
+            dur = 0.2
+            words.append([template[i % len(template)], t0, t0 + dur])
+            t0 += dur + 0.05
+            i += 1
+
+        yield {
+            "vid": int(cfg.speakers[group % len(cfg.speakers)]),
+            "euler141": euler,
+            "audio": pool[group % len(pool)],
+            "emo": np.full(n_frames, group % 8, np.int64),
+            "sem": sem,
+            "words": words,
+        }
+
+
+def build_semantic_beat_records(
+    out_dir: str,
+    n_clips: int = 32,
+    modes: int = 4,
+    seed: int = 233,
+    audio_pool: int = 8,
+    cfg=None,
+) -> int:
+    from .beat import BeatConfig, build_beat_records
+
+    cfg = cfg or BeatConfig()
+    return build_beat_records(
+        cfg,
+        synthetic_semantic_beat_clips(
+            n_clips=n_clips, modes=modes, seed=seed, audio_pool=audio_pool,
+            cfg=cfg,
+        ),
+        out_dir,
+    )

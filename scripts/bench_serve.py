@@ -35,6 +35,11 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, default="ted",
+                   choices=["ted", "beat"],
+                   help="beat serves the 47x6 rot6d / emotion-conditioned "
+                        "config (test_RAG_beat.py shape) — a different "
+                        "fused-kernel lowering than the TED seq")
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--max_batch", type=int, default=16)
@@ -64,7 +69,14 @@ def main():
     from livelyspeaker_tpu.serving import ServeConfig, build_rag_server
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cfg = RAGConfig.ted(latent_dim=args.latent_dim, num_layers=args.layers)
+    if args.dataset == "beat":
+        cfg = RAGConfig.beat(
+            latent_dim=args.latent_dim, num_layers=args.layers, n_speakers=30
+        )
+    else:
+        cfg = RAGConfig.ted(
+            latent_dim=args.latent_dim, num_layers=args.layers
+        )
     model = RAG(cfg)
     rng = np.random.default_rng(0)
     nf = cfg.nframes
@@ -72,15 +84,18 @@ def main():
     import jax.numpy as jnp
 
     x = jnp.zeros((2, cfg.njoints, cfg.nfeats, nf))
+    init_cond = {
+        "audio": jnp.zeros((2, n_samples)),
+        "vid": jnp.zeros((2,), jnp.int32),
+        "origin_x": x,
+    }
+    if cfg.num_emotions:
+        init_cond["emo"] = jnp.zeros((2,), jnp.int32)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
         x,
         jnp.zeros((2,), jnp.int32),
-        {
-            "audio": jnp.zeros((2, n_samples)),
-            "vid": jnp.zeros((2,), jnp.int32),
-            "origin_x": x,
-        },
+        init_cond,
     )["params"]
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -139,7 +154,8 @@ def main():
                     return
                 next_idx[0] += 1
             reqs[i] = batcher.submit(
-                audio[i], speaker=int(speakers[i]), guidance=float(guid[i])
+                audio[i], speaker=int(speakers[i]), guidance=float(guid[i]),
+                emotion=int(i % max(cfg.num_emotions, 1)),
             )
 
     t0 = time.time()
@@ -159,7 +175,7 @@ def main():
     batcher.close()
 
     print(
-        f"burst={args.burst} max_batch={args.max_batch} "
+        f"[{args.dataset}] burst={args.burst} max_batch={args.max_batch} "
         f"depth={args.pipeline_depth} sampler={args.sampler}-"
         f"{args.timestep_respacing}: {elapsed:.3f}s "
         f"({args.burst / elapsed:.1f} clips/s), submit drain "

@@ -84,9 +84,18 @@ def main():
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--n_clips", type=int, default=40)
     p.add_argument("--ema_rate", type=float, default=0.999)
-    p.add_argument("--ema_warmup", action="store_true",
+    p.add_argument("--ema_warmup", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="warmed-up EMA decay (trainer.py; fixes the "
-                        "EMA-horizon pitfall of DESIGN.md §13)")
+                        "EMA-horizon pitfall of DESIGN.md §13).  ON by "
+                        "default since round 5: a soak whose EMA artifact "
+                        "scores far off raw validates nothing — the EMA "
+                        "checkpoint is what a user deploys "
+                        "(--no_ema_warmup reproduces the raw-decay lag)")
+    p.add_argument("--ema_fgd_factor", type=float, default=5.0,
+                   help="fail the soak unless fgd_ema <= factor * "
+                        "max(fgd_raw, 1e-3): the exported EMA params must "
+                        "be a deployable artifact, not a lagging shadow")
     p.add_argument("--fused_train", action="store_true",
                    help="soak the production fast path: fused custom-VJP "
                         "backbone (resume bit-exactness must hold there too)")
@@ -200,8 +209,15 @@ def main():
         "resume_max_param_delta": max_delta,
         "fgd_raw": fgd_raw,
         "fgd_ema": fgd_ema,
+        "ema_warmup": a.ema_warmup,
     }))
     assert bit_exact, "flagship-scale resume is not bit-exact"
+    if a.ema_warmup:
+        lim = a.ema_fgd_factor * max(fgd_raw, 1e-3)
+        assert fgd_ema <= lim, (
+            f"EMA checkpoint unusable: fgd_ema={fgd_ema:.4g} > "
+            f"{a.ema_fgd_factor} x max(fgd_raw, 1e-3) = {lim:.4g}"
+        )
 
 
 if __name__ == "__main__":

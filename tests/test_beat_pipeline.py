@@ -229,3 +229,60 @@ def test_beat_train_step(beat_records):
     state2, metrics = step(state, dev_batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_semantic_beat_fixture_mode_blind_and_separable(tmp_path):
+    """The BEAT semantic fixture's contract: text identifies the archetype,
+    every other channel is mode-blind, and the euler-space gap straddles
+    the SRGR threshold (same-mode < 4 deg/joint, cross-mode >> 4)."""
+    from livelyspeaker_tpu.data.beat import (
+        BeatWindowDataset,
+        rot6d_to_euler_deg,
+    )
+    from livelyspeaker_tpu.data.synthetic import (
+        BEAT_SEM_ONSET,
+        build_semantic_beat_records,
+        semantic_mode_of_sentence_prefix,
+        synthetic_semantic_beat_clips,
+    )
+
+    K = 4
+    clips = list(synthetic_semantic_beat_clips(n_clips=16, modes=K, seed=3))
+    # audio / speaker / emotion: constant within a pool group across modes
+    for c in range(0, 12, K):
+        np.testing.assert_array_equal(
+            clips[c]["audio"], clips[c + 1]["audio"]
+        )
+        assert clips[c]["vid"] == clips[c + 1]["vid"]
+        assert clips[c]["emo"][0] == clips[c + 1]["emo"][0]
+    assert clips[0]["vid"] != clips[K]["vid"]
+    # pre-onset frames carry no archetype: same group, different modes,
+    # identical up to the 25% unique residual (bounded by the wobble scale)
+    pre = slice(0, BEAT_SEM_ONSET)
+    d_pre = np.abs(clips[0]["euler141"][pre] - clips[1]["euler141"][pre])
+    assert d_pre.max() < 10.0, d_pre.max()
+
+    d = str(tmp_path / "sem_beat")
+    n = build_semantic_beat_records(d, n_clips=16, modes=K, seed=3)
+    assert n == 16  # one window per clip
+    ds = BeatWindowDataset(d)
+    b = ds.batch(list(range(len(ds))))
+    modes = np.asarray(
+        [semantic_mode_of_sentence_prefix(s, K) for s in b["sentence"]]
+    )
+    np.testing.assert_array_equal(modes, np.arange(16) % K)
+    # sem marks exactly the post-onset frames
+    assert (b["sem"][0][:BEAT_SEM_ONSET] < 0.1).all()
+    assert (b["sem"][0][BEAT_SEM_ONSET + 4:] > 0.5).all()
+
+    # SRGR separability in euler space (sum-|diff| over 3 euler dims/joint,
+    # threshold 4.0, metric.py:40-44): same-mode pairs mostly under, cross-
+    # mode pairs mostly over
+    eul = rot6d_to_euler_deg(
+        b["motion"].transpose(0, 3, 1, 2).reshape(16, 34, 47, 6)
+    )
+    sem_frames = slice(BEAT_SEM_ONSET + 4, None)
+    same = np.abs(eul[0] - eul[4]).sum(-1)[sem_frames]  # mode 0 vs mode 0
+    diff = np.abs(eul[0] - eul[1]).sum(-1)[sem_frames]  # mode 0 vs mode 1
+    assert (same < 4.0).mean() > 0.8, (same < 4.0).mean()
+    assert (diff < 4.0).mean() < 0.2, (diff < 4.0).mean()
