@@ -13,7 +13,11 @@ Prints ONE JSON line on stdout:
    "mxu_tflops": N, "pct_mxu_peak": N, "hbm_gbps_analytic": N}
 vs_baseline is against the 50 clips/s/chip north star in BASELINE.md.
 mxu_tflops is analytic matmul FLOPs of the sampled chain / steady seconds
-(elementwise/VPU work excluded — see docs/DESIGN.md §9 roofline discussion);
+(elementwise/VPU work excluded — see docs/DESIGN.md §9 roofline discussion;
+the VPU-bound claim behind these numbers is MEASURED, not inferred:
+scripts/measure_op_split.py times matmul-only / VPU-only / full skeletons
+at these shapes on the chip — time(full) ~= time(vpu) = 3.15x
+time(matmul), with the isolated matmuls at 39.7% of MXU peak);
 hbm_gbps_analytic is a transparent lower-bound traffic model (weights
 re-streamed per step + state round-trip + audio features; see
 chain_hbm_bytes) — the tunneled backend exposes no HBM counters.
