@@ -115,6 +115,18 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
         )["params"]
     clip_model, clip_params = load_clip(args)
     tokenizer = load_tokenizer(args)
+    if (getattr(args, "guidance_param", 1.0) > 1.0
+            and not getattr(args, "guidance_schedule", None)):
+        # Measured footgun (BASELINE.md, DESIGN §18-19): at guidance > 1
+        # constant CFG erodes the SAG sketch's text-borne signal in the
+        # low-t refinement steps (TED: recall 0.48 -> 0.27; BEAT: SRGR
+        # 1.05 -> 0.54).  The reference's own sweep hits this silently.
+        print(
+            f"WARNING: composition at guidance={args.guidance_param} with "
+            "constant CFG erodes the SAG sketch's semantic contribution; "
+            "pass --guidance_schedule cosine to preserve it "
+            "(measured: BASELINE.md 'guidance schedules')"
+        )
     return LivelySpeakerPipeline(
         rag, rag_params, sag, sag_params, clip_model, clip_params, tokenizer,
         steps=args.diffusion_steps,

@@ -115,6 +115,7 @@ def main():
             steps=args.diffusion_steps,
             timestep_respacing=args.timestep_respacing or "ddim100",
             skip_timesteps=args.skip_steps or 80,
+            guidance_schedule=args.guidance_schedule,
         )
         sentence = PROMPT + '"' + (args.text or "hello world") + '"'
         if args.long:

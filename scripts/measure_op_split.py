@@ -20,7 +20,13 @@ bench's 25-27%-of-MXU-peak number is a *consequence of the op mix*, not a
 kernel deficiency — the observed confirmation DESIGN §9 previously argued
 analytically.  Prints one JSON line.
 
+``--train`` times the same three skeletons through a grad step (forward +
+backward + SGD update) instead: the op-class split of one TRAINING step,
+the other half of the round-4 verdict's ask (the bench's analytic number
+there is 15.7% MXU at batch 512).
+
 Usage:  python scripts/measure_op_split.py [--batch 512] [--iters 200]
+        python scripts/measure_op_split.py --train --iters 50
 """
 
 import argparse
@@ -48,6 +54,12 @@ def main():
     p.add_argument("--iters", type=int, default=200,
                    help="scan length per timed call (amortises dispatch)")
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--train", action="store_true",
+                   help="time the skeletons through a grad step (forward + "
+                        "backward + SGD update) instead of forward-only — "
+                        "the op-class split of one TRAINING step (the "
+                        "verdict's other half; the analytic bench number "
+                        "is 15.7% MXU at batch 512)")
     args = p.parse_args()
 
     import jax
@@ -115,13 +127,41 @@ def main():
 
         return jax.jit(run)
 
-    def timeit(fn):
-        out = fn(x0)
+    def train_chain(block):
+        """fwd+bwd+update over the L-block stack, scanned ``iters`` times.
+
+        The carry is the param stack: each step takes grad of a scalar
+        loss through all L blocks and applies a tiny SGD update, so the
+        backward pass (where training spends ~2/3 of its matmul FLOPs and
+        re-runs every LN/SiLU chain rule on the VPU) is on the timed path
+        and nothing dead-codes away."""
+        def stack_fwd(params, xin):
+            def per_layer(h, p):
+                return block(h, p), None
+            out, _ = jax.lax.scan(per_layer, xin, params)
+            return jnp.mean(out * out)
+
+        g = jax.grad(stack_fwd)
+
+        def body(params, _):
+            grads = g(params, x0)
+            return jax.tree.map(
+                lambda p_, g_: p_ - 1e-6 * g_, params, grads
+            ), None
+
+        def run(params):
+            out, _ = jax.lax.scan(body, params, None, length=args.iters)
+            return out
+
+        return jax.jit(run)
+
+    def timeit(fn, arg):
+        out = fn(arg)
         jax.block_until_ready(out)  # compile + warm
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.time()
-            jax.block_until_ready(fn(x0))
+            jax.block_until_ready(fn(arg))
             best = min(best, time.time() - t0)
         return best
 
@@ -129,18 +169,27 @@ def main():
     for name, blk in (
         ("matmul", block_matmul), ("vpu", block_vpu), ("full", block_full)
     ):
-        res[name] = timeit(chain(blk))
+        if args.train:
+            res[name] = timeit(train_chain(blk), stacked)
+        else:
+            res[name] = timeit(chain(blk), x0)
         print(f"{name}: {res[name]:.4f}s "
-              f"({args.iters} iters x {L} blocks, batch {B})",
+              f"({args.iters} iters x {L} blocks, batch {B}, "
+              f"{'train' if args.train else 'fwd'})",
               file=sys.stderr)
 
     matmul_flops = (
         2.0 * B * D * T * T + 2.0 * B * T * D * D
     ) * L * args.iters
+    if args.train:
+        # backward adds dL/dx (W^T) and dL/dW (x^T dy) matmuls per fwd
+        # matmul: 3x the forward matmul FLOPs
+        matmul_flops *= 3.0
     tflops_skeleton = matmul_flops / res["matmul"] / 1e12
     tflops_full = matmul_flops / res["full"] / 1e12
     peak = 197.0  # TPU v5e bf16/f32-accum MXU peak TFLOP/s (bench.py)
     print(json.dumps({
+        "mode": "train" if args.train else "fwd",
         "batch": B, "seq": T, "dim": D, "layers": L, "iters": args.iters,
         "t_matmul_s": round(res["matmul"], 4),
         "t_vpu_s": round(res["vpu"], 4),

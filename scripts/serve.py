@@ -306,6 +306,10 @@ def main():
     p.add_argument("--clip_path", type=str, default="")
     p.add_argument("--bpe_path", type=str, default="")
     p.add_argument("--skip_steps", type=int, default=80)
+    p.add_argument("--guidance_schedule", type=str, default=None,
+                   help="per-step CFG decay for composition requests "
+                        "('const'|'linear'|'cosine'|'step:<t0>'); preserves "
+                        "the SAG sketch at guidance>1 (BASELINE.md)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard each served batch over this many local "
                         "devices (max_batch must be a multiple)")
@@ -402,6 +406,7 @@ def main():
             timestep_respacing=args.timestep_respacing or "ddim100",
             skip_timesteps=args.skip_steps,
             mesh=serving_mesh(serve_cfg),
+            guidance_schedule=args.guidance_schedule,
         )
 
     batcher = build_rag_server(

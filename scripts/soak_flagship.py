@@ -91,7 +91,7 @@ def main():
                         "default since round 5: a soak whose EMA artifact "
                         "scores far off raw validates nothing — the EMA "
                         "checkpoint is what a user deploys "
-                        "(--no_ema_warmup reproduces the raw-decay lag)")
+                        "(--no-ema_warmup reproduces the raw-decay lag)")
     p.add_argument("--ema_fgd_factor", type=float, default=5.0,
                    help="fail the soak unless fgd_ema <= factor * "
                         "max(fgd_raw, 1e-3): the exported EMA params must "
