@@ -373,11 +373,13 @@ def semantic_mode_of_sentence_prefix(sentence: str, modes: int) -> int:
 
 
 # --- BEAT semantic fixture (round 5) ----------------------------------------
-#: Frame (at 15 fps) where the BEAT archetype signal is fully ramped in; the
-#: first SEM_ONSET frames (seed frames included) are mode-blind, and the
-#: per-frame `sem` track marks exactly the frames carrying the signal — so
-#: SRGR (scripts_beat/utils/metric.py:27-51) weights precisely the
-#: semantically-relevant frames, the metric's design intent.
+#: Frame (at 15 fps) where the BEAT archetype signal STARTS ramping in:
+#: onset weight is 0 at this frame and reaches 1 four frames later, at
+#: BEAT_SEM_ONSET + 4.  Frames < BEAT_SEM_ONSET (seed frames included) are
+#: fully mode-blind; the per-frame `sem` track flips to 0.9 from
+#: BEAT_SEM_ONSET + 1 (the first frame with nonzero archetype weight), so
+#: SRGR (scripts_beat/utils/metric.py:27-51) weighs the signal-carrying
+#: frames, the metric's design intent.
 BEAT_SEM_ONSET = 12
 
 

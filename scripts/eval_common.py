@@ -125,7 +125,8 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
             f"WARNING: composition at guidance={args.guidance_param} with "
             "constant CFG erodes the SAG sketch's semantic contribution; "
             "pass --guidance_schedule cosine to preserve it "
-            "(measured: BASELINE.md 'guidance schedules')"
+            "(measured: BASELINE.md 'guidance schedules')",
+            file=sys.stderr,
         )
     return LivelySpeakerPipeline(
         rag, rag_params, sag, sag_params, clip_model, clip_params, tokenizer,
@@ -136,6 +137,43 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
         mesh=mesh,
         guidance_schedule=getattr(args, "guidance_schedule", None),
     )
+
+
+def xt_boundary_probe(spaced, base_sched, model, params, motion, cond,
+                      skip, *, noise_key=5, style_key=6):
+    """x_t-sensitivity probe shared by the two semantic-payoff studies.
+
+    q_samples REAL motion to the skip-boundary noise level and returns
+    ``(t_boundary, x0_hat)`` — the denoiser's one-shot x0 prediction at the
+    first executed refinement step.  If a classifier scores x0_hat ~1.0 the
+    denoiser preserves mode content carried by x_t (and a low full-pipeline
+    recall means the refinement loop erodes it); if ~chance the model
+    memorised x0 ~= f(cond) and NO init_image signal can survive.
+
+    ``spaced`` is the respaced schedule actually executed (its
+    ``timestep_map`` converts the respaced boundary index to an
+    ORIGINAL-process timestep — sample_loop starts the reverse chain at
+    respaced index num_timesteps - skip - 1); ``base_sched`` is the
+    unspaced schedule q_sample noises under.  ``skip`` is in respaced-grid
+    units, bounds-checked here (the advisor's round-4 finding)."""
+    import numpy as np
+
+    from livelyspeaker_tpu.diffusion.sampling import q_sample
+
+    idx = int(spaced.num_timesteps) - int(skip) - 1
+    assert 0 <= idx < int(spaced.num_timesteps), (skip, spaced.num_timesteps)
+    t_boundary = int(np.asarray(spaced.timestep_map)[idx])
+    motion = jnp.asarray(motion)
+    t = jnp.full((motion.shape[0],), t_boundary, jnp.int32)
+    xb = q_sample(
+        base_sched, motion, t,
+        jax.random.normal(jax.random.PRNGKey(noise_key), motion.shape),
+    )
+    x0_hat = model.apply(
+        {"params": params}, xb, t, cond, train=False,
+        rngs={"style": jax.random.PRNGKey(style_key)},
+    )["output"]
+    return t_boundary, np.asarray(x0_hat)
 
 
 def final_npz(save_dir, prefix="model"):

@@ -92,6 +92,7 @@ def main():
         ),
         use_fused=args.fused,
         mesh=mesh_from_args(args, batch_size=batch_size),
+        guidance_schedule=args.guidance_schedule,
     )
 
     evaluator = None

@@ -136,6 +136,7 @@ def main():
             steps=args.diffusion_steps,
             timestep_respacing=args.timestep_respacing or "ddim100",
             use_fused=args.fused,
+            guidance_schedule=args.guidance_schedule,
         )
         if args.long:
             from livelyspeaker_tpu.pipeline import generate_long_form

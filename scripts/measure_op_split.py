@@ -59,7 +59,7 @@ def main():
                         "backward + SGD update) instead of forward-only — "
                         "the op-class split of one TRAINING step (the "
                         "verdict's other half; the analytic bench number "
-                        "is 15.7% MXU at batch 512)")
+                        "is 15.7%% MXU at batch 512)")
     args = p.parse_args()
 
     import jax

@@ -346,29 +346,15 @@ def main():
     )
     print(f"sketch recall: {sketch_recall:.3f}", file=sys.stderr)
 
-    # x_t-sensitivity probe at the skip boundary (see the TED study): if
-    # ~1.0 the denoiser preserves mode content carried by x_t; if ~chance
-    # the model memorised x0 ~= f(cond) and NO init_image signal survives.
-    from livelyspeaker_tpu.diffusion.sampling import q_sample as _q_sample
+    # x_t-sensitivity probe at the skip boundary (shared helper — see
+    # eval_common.xt_boundary_probe for the mechanism it decides)
+    from eval_common import xt_boundary_probe
 
-    _spaced = pipes[None].rag_sampler.sched
-    _idx_boundary = int(_spaced.num_timesteps) - args.skip - 1
-    assert 0 <= _idx_boundary < int(_spaced.num_timesteps), (
-        args.skip, _spaced.num_timesteps)
-    t_boundary = int(np.asarray(_spaced.timestep_map)[_idx_boundary])
-    xb = _q_sample(
-        sched,
-        jnp.asarray(test_all["motion"]),
-        jnp.full((len(test_ds),), t_boundary, jnp.int32),
-        jax.random.normal(jax.random.PRNGKey(5),
-                          jnp.asarray(test_all["motion"]).shape),
+    t_boundary, x0_hat = xt_boundary_probe(
+        pipes[None].rag_sampler.sched, sched, model, rag_params,
+        test_all["motion"], cond, args.skip,
     )
-    x0_hat = model.apply(
-        {"params": rag_params}, xb,
-        jnp.full((len(test_ds),), t_boundary, jnp.int32),
-        cond, train=False, rngs={"style": jax.random.PRNGKey(6)},
-    )["output"]
-    probe_recall = float((classify(np.asarray(x0_hat)) == test_modes).mean())
+    probe_recall = float((classify(x0_hat) == test_modes).mean())
     print(
         f"x0-hat recall at t={t_boundary} (x_t from REAL motion): "
         f"{probe_recall:.3f}",

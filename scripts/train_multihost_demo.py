@@ -157,6 +157,13 @@ def main():
         flush=True,
     )
 
+    if len(loader) == 0:
+        raise SystemExit(
+            f"dataset too small for this process count: "
+            f"{len(ds)} windows -> {len(ds) // jax.process_count()} per host "
+            f"< local_batch {args.local_batch}; reduce --num_processes or "
+            f"--local_batch"
+        )
     it = iter(loader)
     for step in range(args.steps):
         try:
