@@ -332,6 +332,7 @@ def generate_long_form(
     guidance: float = 1.5,
     fps: int = 15,
     sr: int = 16000,
+    emotion: int = 0,
     pipeline: Optional[LivelySpeakerPipeline] = None,
     sentences: Optional[Sequence[str]] = None,
 ):
@@ -365,7 +366,7 @@ def generate_long_form(
     chunks = list(
         generate_long_form_stream(
             sampler, audio, speaker, rng, guidance=guidance, fps=fps, sr=sr,
-            pipeline=pipeline, sentences=sentences,
+            emotion=emotion, pipeline=pipeline, sentences=sentences,
         )
     )
     return np.concatenate([c for _, c in chunks], axis=-1)
@@ -380,6 +381,7 @@ def generate_long_form_stream(
     guidance: float = 1.5,
     fps: int = 15,
     sr: int = 16000,
+    emotion: int = 0,
     pipeline: Optional[LivelySpeakerPipeline] = None,
     sentences: Optional[Sequence[str]] = None,
 ):
@@ -403,6 +405,7 @@ def generate_long_form_stream(
     seed = np.zeros((1, c.njoints, c.nfeats, nf), np.float32)
     win_samples = int(round(nf / fps * sr))
     vid = jnp.asarray([speaker])
+    emo = jnp.asarray([emotion]) if c.num_emotions else None
 
     for w in range(n_windows):
         s0 = offsets[w]
@@ -414,6 +417,10 @@ def generate_long_form_stream(
             "vid": vid,
             "origin_x": jnp.asarray(seed),
         }
+        if emo is not None:
+            # BEAT emotion-conditioned models require the emotion token
+            # (models/rag.py:240; scripts_beat/model/RAG.py:125-126)
+            cond["emo"] = emo
         rng, sub = jax.random.split(rng)
         if pipeline is not None and sentences:
             sent = sentences[w % len(sentences)]

@@ -44,6 +44,9 @@ def parse_args():
                    help="16 kHz waveform .npy (random if omitted)")
     g.add_argument("--text", type=str, default="")
     g.add_argument("--speaker", type=int, default=0)
+    g.add_argument("--emotion", type=int, default=0,
+                   help="emotion id for BEAT emotion-conditioned models "
+                        "(--num_emotions > 0); ignored for TED")
     g.add_argument("--out", type=str, default="/tmp/generated_clip")
     g.add_argument("--render", action="store_true", default=True)
     g.add_argument("--long", action="store_true",
@@ -80,6 +83,8 @@ def main():
         "vid": jnp.asarray([args.speaker]),
         "origin_x": jnp.zeros((1, cfg.njoints, cfg.nfeats, cfg.nframes)),
     }
+    if cfg.num_emotions:
+        cond["emo"] = jnp.asarray([args.emotion])
 
     if args.sag_path:
         from eval_livelyspeaker_ted import load_sag_params
@@ -124,7 +129,7 @@ def main():
             long_motion = generate_long_form(
                 pipe.rag_sampler, full_wav, args.speaker,
                 jax.random.PRNGKey(0), guidance=args.guidance_param,
-                pipeline=pipe, sentences=[sentence],
+                emotion=args.emotion, pipeline=pipe, sentences=[sentence],
             )
             sample = long_motion[None]
         else:
@@ -143,7 +148,7 @@ def main():
 
             sample = generate_long_form(
                 sampler, full_wav, args.speaker, jax.random.PRNGKey(0),
-                guidance=args.guidance_param,
+                guidance=args.guidance_param, emotion=args.emotion,
             )[None]
         else:
             sample = sampler(cond, jax.random.PRNGKey(0),

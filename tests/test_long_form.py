@@ -209,3 +209,51 @@ def test_seam_report_single_window():
 
     rep = long_form_seam_report(np.zeros((9, 3, 34)), 34, 4)
     assert rep["n_seams"] == 0 and np.isnan(rep["ratio_p95"])
+
+
+def test_long_form_beat_emotion_conditioned():
+    """Emotion-conditioned BEAT models need cond['emo'] in every window
+    (models/rag.py:240); generate_long_form threads ``emotion=`` through."""
+    cfg = RAGConfig.beat(latent_dim=32, num_layers=1, n_speakers=4)
+    model = RAG(cfg)
+    nf = cfg.nframes
+    cond = {
+        "audio": jnp.zeros((1, audio_samples_for_frames(nf))),
+        "vid": jnp.zeros((1,), jnp.int32),
+        "origin_x": jnp.zeros((1, cfg.njoints, cfg.nfeats, nf)),
+        "emo": jnp.zeros((1,), jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        jnp.zeros((1, cfg.njoints, cfg.nfeats, nf)),
+        jnp.zeros((1,), jnp.int32),
+        cond,
+    )["params"]
+    # the reference inits ALL emotion rows to the same 1e-6 constant
+    # (RAG.py:67 pattern) — give them distinct values so conditioning on a
+    # different id is observable on an untrained model
+    params = dict(params)
+    params["emotion_embedding"] = {
+        "embedding": jax.random.normal(
+            jax.random.PRNGKey(9), (cfg.num_emotions, cfg.latent_dim)
+        )
+    }
+    sampler = RAGSampler(
+        model, params, steps=20, timestep_respacing="ddim4", method="ddim"
+    )
+    audio = np.random.default_rng(2).normal(size=int(60 / 15 * 16000)).astype(
+        np.float32
+    )
+    out = generate_long_form(
+        sampler, audio, speaker=2, rng=jax.random.PRNGKey(0), guidance=1.0,
+        emotion=3,
+    )
+    assert out.shape == (cfg.njoints, cfg.nfeats, int(len(audio) * 15 / 16000))
+    assert np.isfinite(out).all()
+    # the emotion token must actually reach the denoiser: different ids at
+    # identical keys/audio give different motion
+    out2 = generate_long_form(
+        sampler, audio, speaker=2, rng=jax.random.PRNGKey(0), guidance=1.0,
+        emotion=5,
+    )
+    assert np.abs(out - out2).max() > 1e-6
