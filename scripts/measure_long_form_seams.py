@@ -47,6 +47,8 @@ def parse_args():
     g.add_argument("--respacing", type=str, default="ddim100")
     g.add_argument("--guidance", type=float, default=1.5)
     g.add_argument("--speaker", type=int, default=1)
+    g.add_argument("--emotion", type=int, default=0,
+                   help="emotion id for BEAT models (--num_emotions > 0)")
     g.add_argument("--with_random_baseline",
                    action=argparse.BooleanOptionalAction, default=True,
                    help="also score a random-init model for context "
@@ -68,7 +70,12 @@ def build_audio(args) -> np.ndarray:
         if not os.path.exists(os.path.join(data_dir, "meta.json")):
             build_synthetic_ted_records(data_dir, n_clips=8, clip_seconds=20)
         args.data_dir = data_dir
-    ds = TedWindowDataset(args.data_dir)
+    if args.dataset == "beat":
+        from livelyspeaker_tpu.data.beat import BeatWindowDataset
+
+        ds = BeatWindowDataset(args.data_dir)
+    else:
+        ds = TedWindowDataset(args.data_dir)
     want = int(args.seconds * 16000)
     pieces, i = [], 0
     total = 0
@@ -87,7 +94,7 @@ def score(model, params, args, audio) -> dict:
     )
     out = generate_long_form(
         sampler, audio, speaker=args.speaker, rng=jax.random.PRNGKey(233),
-        guidance=args.guidance,
+        guidance=args.guidance, emotion=args.emotion,
     )
     rep = long_form_seam_report(
         out, model.cfg.nframes, model.cfg.n_pre_seq
@@ -120,13 +127,18 @@ def main():
         from livelyspeaker_tpu.models import audio_samples_for_frames
 
         nf = cfg.nframes
+        init_cond = {
+            "audio": jnp.zeros((1, audio_samples_for_frames(nf))),
+            "vid": jnp.zeros((1,), jnp.int32),
+            "origin_x": jnp.zeros((1, cfg.njoints, cfg.nfeats, nf)),
+        }
+        if cfg.num_emotions:
+            init_cond["emo"] = jnp.zeros((1,), jnp.int32)
         rand = model.init(
             {"params": jax.random.PRNGKey(5), "style": jax.random.PRNGKey(6)},
             jnp.zeros((1, cfg.njoints, cfg.nfeats, nf)),
             jnp.zeros((1,), jnp.int32),
-            {"audio": jnp.zeros((1, audio_samples_for_frames(nf))),
-             "vid": jnp.zeros((1,), jnp.int32),
-             "origin_x": jnp.zeros((1, cfg.njoints, cfg.nfeats, nf))},
+            init_cond,
         )["params"]
         print(
             f"random-baseline: "
