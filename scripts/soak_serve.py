@@ -65,6 +65,10 @@ def main():
     p.add_argument("--latent_dim", type=int, default=512)
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="serve.py dispatch pipeline depth; soak the swept "
+                        "throughput optimum with --max_batch 32 "
+                        "--pipeline_depth 8 (BASELINE.md serving table)")
     p.add_argument("--reload_every", type=float, default=15.0)
     p.add_argument("--out", type=str, default="/tmp/soak_serve")
     a = p.parse_args()
@@ -112,6 +116,7 @@ def main():
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--model_path", ckpt,
          "--port", str(port), "--max_batch", str(a.max_batch),
+         "--pipeline_depth", str(a.pipeline_depth),
          "--reload_token", token],
         cwd=ROOT, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
