@@ -667,7 +667,8 @@ def test_pipelined_dispatch_overlaps_readback():
                 self.finish_times,
             )
 
-    for depth, want_overlap in ((0, False), (1, True), (2, True)):
+    # depth 8 = the swept serving throughput optimum (BASELINE.md)
+    for depth, want_overlap in ((0, False), (1, True), (2, True), (8, True)):
         batcher, cfg = _tiny_server(
             max_batch=1, max_wait_ms=1.0, pipeline_depth=depth
         )
