@@ -310,6 +310,13 @@ def main():
                    help="per-step CFG decay for composition requests "
                         "('const'|'linear'|'cosine'|'step:<t0>'); preserves "
                         "the SAG sketch at guidance>1 (BASELINE.md)")
+    p.add_argument("--composition_respacing", type=str, default="ddim100",
+                   help="respacing for text-carrying composition requests, "
+                        "independent of the fast-path --timestep_respacing: "
+                        "--skip_steps is in respaced-grid units, so the "
+                        "reference's skip=80 presumes the ddim100 grid "
+                        "(test_LivelySpeaker_ted.py:212) and would be out "
+                        "of range on the ddim20 fast path")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard each served batch over this many local "
                         "devices (max_batch must be a multiple)")
@@ -403,11 +410,19 @@ def main():
         composition = LivelySpeakerPipeline(
             model, params, sag, sag_params, clip_model, clip_params, tok,
             steps=args.steps,
-            timestep_respacing=args.timestep_respacing or "ddim100",
+            timestep_respacing=args.composition_respacing,
             skip_timesteps=args.skip_steps,
             mesh=serving_mesh(serve_cfg),
             guidance_schedule=args.guidance_schedule,
         )
+        n_spaced = int(composition.rag_sampler.sched.num_timesteps)
+        if not 0 < n_spaced - args.skip_steps:
+            raise SystemExit(
+                f"--skip_steps {args.skip_steps} leaves no refinement steps "
+                f"on the {args.composition_respacing} grid ({n_spaced} "
+                f"steps); lower --skip_steps or use a finer "
+                f"--composition_respacing"
+            )
 
     batcher = build_rag_server(
         model,
