@@ -230,6 +230,7 @@ class LivelySpeakerPipeline:
         method: str = "ddim",
         mesh=None,
         guidance_schedule: Optional[str] = None,
+        use_fused: bool = False,
     ):
         self.rag_sampler = RAGSampler(
             rag,
@@ -239,6 +240,7 @@ class LivelySpeakerPipeline:
             method=method,
             mesh=mesh,
             guidance_schedule=guidance_schedule,
+            use_fused=use_fused,
         )
         self.sag = sag
         self.sag_params = sag_params

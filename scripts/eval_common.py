@@ -136,6 +136,7 @@ def build_pipeline(args, rag, rag_params, njoints, nfeats, mesh=None):
                         or 80),  # test_LivelySpeaker_beat.py:232
         mesh=mesh,
         guidance_schedule=getattr(args, "guidance_schedule", None),
+        use_fused=getattr(args, "fused", False),
     )
 
 

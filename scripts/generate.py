@@ -121,6 +121,7 @@ def main():
             timestep_respacing=args.timestep_respacing or "ddim100",
             skip_timesteps=args.skip_steps or 80,
             guidance_schedule=args.guidance_schedule,
+            use_fused=args.fused,
         )
         sentence = PROMPT + '"' + (args.text or "hello world") + '"'
         if args.long:

@@ -414,6 +414,7 @@ def main():
             skip_timesteps=args.skip_steps,
             mesh=serving_mesh(serve_cfg),
             guidance_schedule=args.guidance_schedule,
+            use_fused=not args.no_fused,  # same fast path as the batcher
         )
         n_spaced = int(composition.rag_sampler.sched.num_timesteps)
         if not 0 < n_spaced - args.skip_steps:
@@ -434,6 +435,15 @@ def main():
     # sampling scan can take minutes on remote-dispatch hosts; don't let the
     # default request timeout kill the server during it.
     batcher.generate(np.zeros(16000, np.float32), timeout=3600.0)
+    if composition is not None:
+        # Warm the composition executable too, THROUGH the batcher — the
+        # real text path pads to max_batch and traces per-sample guidance
+        # arrays, so only a batcher-routed request compiles the executable
+        # requests will actually hit. Otherwise the first text-carrying
+        # request eats the whole compile (measured 50-68 s for the fused
+        # pipeline through the tunnel).
+        batcher.generate(np.zeros(16000, np.float32), text="warmup",
+                         timeout=3600.0)
     print(f"warm; serving on http://{args.host}:{args.port}")
 
     srv = ThreadingHTTPServer(
