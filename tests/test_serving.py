@@ -250,6 +250,22 @@ def test_batcher_composition_with_text():
         b = r_plain.wait(timeout=600)
         assert a.shape == b.shape == (cfg.njoints, cfg.nfeats, cfg.nframes)
         assert np.isfinite(a).all() and np.isfinite(b).all()
+
+        # Hot-reload with a composition attached must swap the refinement
+        # stage's weights too (serving.reload_params), and text requests
+        # must keep working on the new tree.
+        new_params = jax.tree_util.tree_map(lambda p: p * 1.5, params)
+        batcher.reload_params(new_params)
+        leaf_old = jax.tree_util.tree_leaves(params)[0]
+        leaf_new = jax.tree_util.tree_leaves(
+            pipe.rag_sampler.params
+        )[0]
+        assert np.allclose(np.asarray(leaf_new), np.asarray(leaf_old) * 1.5)
+        a2 = batcher.submit(
+            np.zeros(100, np.float32), text="waves both hands"
+        ).wait(timeout=600)
+        assert np.isfinite(a2).all()
+        assert not np.allclose(a2, a), "new weights must change composition"
     finally:
         batcher.close()
 
