@@ -57,6 +57,14 @@ def main():
     p.add_argument("--timestep_respacing", type=str, default="ddim20")
     p.add_argument("--sampler", type=str, default="dpmpp")
     p.add_argument("--no_fused", action="store_true")
+    p.add_argument("--text_frac", type=float, default=0.0,
+                   help="fraction of burst requests carrying text: routes "
+                        "them through the SAG->skip-80 composition "
+                        "(random-init SAG/CLIP towers — throughput bench, "
+                        "not quality); 0 disables the composition")
+    p.add_argument("--composition_respacing", type=str, default="ddim100",
+                   help="respacing for the composition (skip 80 presumes "
+                        "the ddim100 grid; see serve.py)")
     args = p.parse_args()
 
     import jax
@@ -109,10 +117,34 @@ def main():
         max_queue=max(128, args.burst),
         pipeline_depth=args.pipeline_depth,
     )
-    batcher = build_rag_server(model, params, serve_cfg)
+    composition = None
+    if args.text_frac > 0:
+        from livelyspeaker_tpu.data.clip_tokenizer import HashTokenizer
+        from livelyspeaker_tpu.models.clip_text import CLIPTextEncoder
+        from livelyspeaker_tpu.models.sag import SAG
+        from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+
+        sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats, latent_dim=512)
+        sag_params = sag.init(jax.random.PRNGKey(7), x)["params"]
+        clip_model = CLIPTextEncoder()
+        clip_params = clip_model.init(
+            jax.random.PRNGKey(8), jnp.zeros((1, 77), jnp.int32)
+        )["params"]
+        composition = LivelySpeakerPipeline(
+            model, params, sag, sag_params, clip_model, clip_params,
+            HashTokenizer(), steps=args.steps,
+            timestep_respacing=args.composition_respacing,
+            skip_timesteps=80, use_fused=serve_cfg.use_fused,
+        )
+    batcher = build_rag_server(
+        model, params, serve_cfg, composition=composition
+    )
 
     t0 = time.time()
     batcher.generate(np.zeros(n_samples, np.float32), timeout=3600.0)
+    if composition is not None:
+        batcher.generate(np.zeros(n_samples, np.float32), text="warmup",
+                         timeout=3600.0)
     print(f"warm compile: {time.time() - t0:.1f}s", file=sys.stderr)
     # Drop the warm-up from the reported stats: its compile-time latency
     # would otherwise become the p99 and its occupancy-1 batch would
@@ -153,9 +185,13 @@ def main():
                 if i >= args.burst:
                     return
                 next_idx[0] += 1
+            text = ("a person waves both hands"
+                    if args.text_frac > 0 and (i % 100) < args.text_frac * 100
+                    else None)
             reqs[i] = batcher.submit(
                 audio[i], speaker=int(speakers[i]), guidance=float(guid[i]),
                 emotion=int(i % max(cfg.num_emotions, 1)),
+                text=text,
             )
 
     t0 = time.time()
@@ -174,8 +210,10 @@ def main():
     st = batcher.stats()
     batcher.close()
 
+    text_tag = (f" text_frac={args.text_frac}" if args.text_frac > 0 else "")
     print(
-        f"[{args.dataset}] burst={args.burst} max_batch={args.max_batch} "
+        f"[{args.dataset}{text_tag}] burst={args.burst} "
+        f"max_batch={args.max_batch} "
         f"depth={args.pipeline_depth} sampler={args.sampler}-"
         f"{args.timestep_respacing}: {elapsed:.3f}s "
         f"({args.burst / elapsed:.1f} clips/s), submit drain "
