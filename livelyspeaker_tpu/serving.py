@@ -402,16 +402,50 @@ class GestureBatcher:
 
     # ------------------------------------------------------------- worker
     def _run(self) -> None:
+        # Mismatched-kind requests pulled while filling a batch wait here
+        # for the NEXT batch (bounded by max_batch; FIFO within each kind).
+        stash: List[GestureRequest] = []
+        try:
+            self._run_loop(stash)
+        finally:
+            # the worker owns the stash: on any exit (shutdown sentinel,
+            # stop flag, crash) its waiters must fail promptly like
+            # close() fails the still-queued ones
+            for r in stash:
+                r.error = RuntimeError("server is shutting down")
+                r.done.set()
+
+    def _run_loop(self, stash: List[GestureRequest]) -> None:
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            if first is _SHUTDOWN:
-                return
+            if stash:
+                first = stash.pop(0)
+            else:
+                try:
+                    first = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if first is _SHUTDOWN:
+                    return
             batch: List[GestureRequest] = [first]
             deadline = time.monotonic() + self.cfg.max_wait_ms / 1000.0
             while len(batch) < self.cfg.max_batch:
+                # Fill from the stash first — these are already-arrived
+                # requests of some kind; take the ones matching this batch.
+                if stash and self.composition is not None:
+                    matched = [
+                        r for r in stash
+                        if bool(r.text) == bool(first.text)
+                    ]
+                    if matched:
+                        take = matched[: self.cfg.max_batch - len(batch)]
+                        batch.extend(take)
+                        # identity-based removal: GestureRequest is a
+                        # dataclass with ndarray fields, __eq__ is unusable.
+                        # In-place (stash[:]) so _run's shutdown cleanup
+                        # sees the same list object.
+                        taken = {id(r) for r in take}
+                        stash[:] = [r for r in stash if id(r) not in taken]
+                        continue
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
@@ -422,6 +456,21 @@ class GestureBatcher:
                 if item is _SHUTDOWN:
                     self._stop.set()
                     break
+                # Batches must be text-homogeneous when a composition is
+                # attached: the composition applies its skip-step sketch
+                # warm start to EVERY row of the batch, so a plain request
+                # coalesced with a text request would silently get
+                # composition output (its result would depend on batch
+                # co-occupants). Stash the odd ones for the next batch and
+                # keep filling this one — occupancy is preserved, at the
+                # cost of mild cross-kind reordering (FIFO per kind).
+                if self.composition is not None and bool(item.text) != bool(
+                    first.text
+                ):
+                    stash.append(item)
+                    if len(stash) >= self.cfg.max_batch:
+                        break  # enough arrived to fill the next batch
+                    continue
                 batch.append(item)
             try:
                 out = self._dispatch(batch)

@@ -196,7 +196,8 @@ def test_batcher_error_propagates():
 
 def test_batcher_composition_with_text():
     """Requests carrying text route through the SAG composition (sketch ->
-    skip-step refinement), mixed with text-less rows in one batch."""
+    skip-step refinement); text-less requests keep the plain path (batches
+    are text-homogeneous — see test_mixed_text_plain_batches_split)."""
     import jax.numpy as jnp
 
     from livelyspeaker_tpu.data.clip_tokenizer import HashTokenizer
@@ -715,3 +716,78 @@ def test_pipelined_dispatch_overlaps_readback():
             assert "inflight_batches" in st
         finally:
             batcher.close()
+
+
+def test_mixed_text_plain_batches_split():
+    """With a composition attached, text and plain requests must NOT share
+    a batch: the composition warm-starts EVERY row from the SAG sketch, so
+    a coalesced plain request would silently get composition output. The
+    worker carries the odd request into the next (homogeneous) batch."""
+    import jax.numpy as jnp
+
+    from livelyspeaker_tpu.data.clip_tokenizer import HashTokenizer
+    from livelyspeaker_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from livelyspeaker_tpu.models.sag import SAG
+    from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
+    from livelyspeaker_tpu.serving import GestureBatcher
+
+    cfg = RAGConfig(latent_dim=64, num_layers=1, n_speakers=4)
+    model = RAG(cfg)
+    nf = cfg.nframes
+    x = np.zeros((2, cfg.njoints, cfg.nfeats, nf), np.float32)
+    cond = {
+        "audio": np.zeros((2, audio_samples_for_frames(nf)), np.float32),
+        "vid": np.zeros((2,), np.int64),
+        "origin_x": x,
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "style": jax.random.PRNGKey(1)},
+        x, np.zeros((2,), np.int64),
+        {k: np.asarray(v) for k, v in cond.items()},
+    )["params"]
+    sag = SAG(njoints=cfg.njoints, nfeats=cfg.nfeats, latent_dim=32,
+              ff_size=64, num_layers=1, num_heads=2)
+    sag_params = sag.init(jax.random.PRNGKey(2), jnp.asarray(x))["params"]
+    clip_model = CLIPTextEncoder(
+        CLIPTextConfig(width=32, layers=1, heads=2, embed_dim=32)
+    )
+    clip_params = clip_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+    pipe = LivelySpeakerPipeline(
+        model, params, sag, sag_params, clip_model, clip_params,
+        HashTokenizer(), steps=50, timestep_respacing="ddim5",
+        skip_timesteps=2,
+    )
+    serve_cfg = ServeConfig(max_batch=4, max_wait_ms=2000.0, steps=50,
+                            timestep_respacing="ddim5", sampler="ddim",
+                            use_fused=False)
+    batcher = GestureBatcher(pipe.rag_sampler, serve_cfg, composition=pipe)
+    try:
+        seen = []  # (kind, n_text, n_plain) per dispatched batch
+
+        orig_dispatch = batcher._dispatch
+
+        def spy(batch):
+            n_text = sum(1 for r in batch if r.text)
+            seen.append((n_text, len(batch) - n_text))
+            return orig_dispatch(batch)
+
+        batcher._dispatch = spy
+        reqs = [
+            batcher.submit(np.zeros(100, np.float32),
+                           text=("hello" if i % 2 == 0 else None))
+            for i in range(4)
+        ]
+        for r in reqs:
+            assert np.isfinite(r.wait(timeout=600)).all()
+        # every dispatched batch is homogeneous and both kinds dispatched
+        assert all(t == 0 or p == 0 for t, p in seen), seen
+        assert any(t > 0 for t, _ in seen) and any(p > 0 for _, p in seen), (
+            seen
+        )
+    finally:
+        batcher.close()
