@@ -70,6 +70,11 @@ def main():
                         "throughput optimum with --max_batch 32 "
                         "--pipeline_depth 8 (BASELINE.md serving table)")
     p.add_argument("--reload_every", type=float, default=15.0)
+    p.add_argument("--composition", action="store_true",
+                   help="attach a (random-init) SAG composition and carry "
+                        "text on ~half the requests: soaks the text-"
+                        "homogeneous batch splitting + composition warmup "
+                        "+ per-window sketches under concurrent load")
     p.add_argument("--out", type=str, default="/tmp/soak_serve")
     a = p.parse_args()
 
@@ -110,14 +115,33 @@ def main():
         )
         save_args(a.out, {"latent_dim": a.latent_dim, "layers": a.layers})
 
+    sag_ckpt = os.path.join(a.out, "sag.npz")
+    if a.composition and not os.path.exists(sag_ckpt):
+        import jax
+        import jax.numpy as jnp
+
+        from livelyspeaker_tpu.models.sag import SAG
+        from livelyspeaker_tpu.training.checkpoints import save_params_npz
+
+        sag = SAG(njoints=9, nfeats=3, latent_dim=512)
+        save_params_npz(sag_ckpt, sag.init(
+            jax.random.PRNGKey(9), jnp.zeros((1, 9, 3, 34))
+        )["params"])
+
     # --- launch the real server process ---------------------------------
     port = free_port()
     token = "soak-token"
+    serve_cmd = [
+        sys.executable, "scripts/serve.py", "--model_path", ckpt,
+        "--port", str(port), "--max_batch", str(a.max_batch),
+        "--pipeline_depth", str(a.pipeline_depth),
+        "--reload_token", token,
+    ]
+    if a.composition:
+        serve_cmd += ["--sag_path", sag_ckpt,
+                      "--guidance_schedule", "cosine"]
     proc = subprocess.Popen(
-        [sys.executable, "scripts/serve.py", "--model_path", ckpt,
-         "--port", str(port), "--max_batch", str(a.max_batch),
-         "--pipeline_depth", str(a.pipeline_depth),
-         "--reload_token", token],
+        serve_cmd,
         cwd=ROOT, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     try:
@@ -138,8 +162,8 @@ def main():
         sr = 16000
         rng = np.random.default_rng(0)
         stop = time.time() + a.seconds
-        counts = {"short": 0, "long": 0, "stream": 0, "reload": 0,
-                  "overloaded": 0}
+        counts = {"short": 0, "text": 0, "long": 0, "stream": 0,
+                  "reload": 0, "overloaded": 0}
         errors = []
         lock = threading.Lock()
 
@@ -156,30 +180,43 @@ def main():
                     kind = ["short", "short", "short", "long", "stream"][
                         int(r.integers(0, 5))
                     ]
+                    with_text = a.composition and bool(r.integers(0, 2))
                     if kind == "short":
                         wav = r.normal(size=sr // 4).astype(np.float32)
-                        st, out = http_json(port, "/v1/generate", {
+                        body = {
                             "audio_b64": base64.b64encode(
                                 wav.tobytes()).decode(),
                             "speaker": int(r.integers(0, 1400)),
                             "guidance": float(r.choice([1.0, 1.5, 2.0])),
-                        })
+                        }
+                        if with_text:
+                            body["text"] = "a person waves both hands"
+                        st, out = http_json(port, "/v1/generate", body)
                         if st == 503:
                             bump("overloaded")
                             continue
                         assert st == 200, out
                         m = np.asarray(out["motion"])
                         assert np.isfinite(m).all()
-                        bump("short")
+                        if with_text:
+                            # composition is attached: text must route
+                            # through it, never be silently dropped
+                            assert "text_ignored" not in out, out.keys()
+                            bump("text")
+                        else:
+                            bump("short")
                     elif kind == "long":
                         secs = float(r.uniform(3.0, 6.0))
                         wav = r.normal(size=int(secs * sr)).astype(np.float32)
-                        st, out = http_json(port, "/v1/generate", {
+                        body = {
                             "audio_b64": base64.b64encode(
                                 wav.tobytes()).decode(),
                             "speaker": int(r.integers(0, 1400)),
                             "long": True,
-                        })
+                        }
+                        if with_text:
+                            body["text"] = "a person points to the left"
+                        st, out = http_json(port, "/v1/generate", body)
                         if st == 503:
                             bump("overloaded")
                             continue
