@@ -150,6 +150,9 @@ class GestureBatcher:
         self._batches_served = 0
         self._requests_served = 0
         self._rejected = 0
+        # worker-owned count of stash-held requests (single writer; read
+        # by stats() — a stale read is fine, a missing one is not)
+        self._stash_len = 0
         self._latencies_ms: List[float] = []  # rolling, last 512
         # One lock owns the device: the batch worker and every long-form
         # chain acquire it per sampler call, so concurrent requests
@@ -278,7 +281,11 @@ class GestureBatcher:
             "batches_served": batches,
             "requests_served": requests,
             "rejected": rejected,
-            "pending": self._q.qsize(),
+            # stashed = mismatched-kind requests the worker is holding for
+            # the next text-homogeneous batch: they are pending too (an
+            # operator alerting on queue depth must see them — they have
+            # the WORST latency of any waiting request)
+            "pending": self._q.qsize() + self._stash_len,
             "inflight_batches": self._inflight.qsize(),
             "long_active": long_active,
             "param_version": param_version,
@@ -414,11 +421,13 @@ class GestureBatcher:
             for r in stash:
                 r.error = RuntimeError("server is shutting down")
                 r.done.set()
+            self._stash_len = 0
 
     def _run_loop(self, stash: List[GestureRequest]) -> None:
         while not self._stop.is_set():
             if stash:
                 first = stash.pop(0)
+                self._stash_len = len(stash)
             else:
                 try:
                     first = self._q.get(timeout=0.1)
@@ -445,6 +454,7 @@ class GestureBatcher:
                         # sees the same list object.
                         taken = {id(r) for r in take}
                         stash[:] = [r for r in stash if id(r) not in taken]
+                        self._stash_len = len(stash)
                         continue
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -468,6 +478,7 @@ class GestureBatcher:
                     first.text
                 ):
                     stash.append(item)
+                    self._stash_len = len(stash)
                     if len(stash) >= self.cfg.max_batch:
                         break  # enough arrived to fill the next batch
                     continue

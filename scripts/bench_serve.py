@@ -136,6 +136,13 @@ def main():
             timestep_respacing=args.composition_respacing,
             skip_timesteps=80, use_fused=serve_cfg.use_fused,
         )
+        n_spaced = int(composition.rag_sampler.sched.num_timesteps)
+        if n_spaced - 80 <= 0:
+            raise SystemExit(
+                f"skip 80 leaves no refinement steps on the "
+                f"{args.composition_respacing} grid ({n_spaced} steps); "
+                f"use a finer --composition_respacing (see serve.py)"
+            )
     batcher = build_rag_server(
         model, params, serve_cfg, composition=composition
     )
@@ -185,9 +192,16 @@ def main():
                 if i >= args.burst:
                     return
                 next_idx[0] += 1
-            text = ("a person waves both hands"
-                    if args.text_frac > 0 and (i % 100) < args.text_frac * 100
-                    else None)
+            # Bresenham-spread the text requests evenly through the burst
+            # (blocked runs would leave the homogeneous-batch splitter
+            # nearly unexercised — the thing this flag measures)
+            import math
+
+            with_text = args.text_frac > 0 and (
+                math.floor(i * args.text_frac)
+                > math.floor((i - 1) * args.text_frac)
+            )
+            text = "a person waves both hands" if with_text else None
             reqs[i] = batcher.submit(
                 audio[i], speaker=int(speakers[i]), guidance=float(guid[i]),
                 emotion=int(i % max(cfg.num_emotions, 1)),

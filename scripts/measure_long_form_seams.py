@@ -91,6 +91,8 @@ def score(model, params, args, audio) -> dict:
     sampler = RAGSampler(
         model, params, steps=args.diffusion_steps,
         timestep_respacing=args.respacing, method="ddim",
+        use_fused=args.fused,
+        guidance_schedule=args.guidance_schedule,
     )
     out = generate_long_form(
         sampler, audio, speaker=args.speaker, rng=jax.random.PRNGKey(233),

@@ -349,8 +349,11 @@ def test_full_composition_fused_matches_xla(rng_np):
         )
         # CPU hosts need pallas interpret mode (kernel math itself is
         # covered by test_pallas_kernels.py + the on-device bench gate)
+        import contextlib
+
         ctx = (pltpu.force_tpu_interpret_mode() if fused
-               and jax.devices()[0].platform != "tpu" else _nullctx())
+               and jax.devices()[0].platform != "tpu"
+               else contextlib.nullcontext())
         with ctx:
             outs[fused] = np.asarray(
                 pipe(sentences, cond, jax.random.PRNGKey(7), guidance=1.5)
@@ -359,9 +362,3 @@ def test_full_composition_fused_matches_xla(rng_np):
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-4)
 
 
-class _nullctx:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

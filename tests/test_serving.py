@@ -207,7 +207,6 @@ def test_batcher_composition_with_text():
     )
     from livelyspeaker_tpu.models.sag import SAG
     from livelyspeaker_tpu.pipeline import LivelySpeakerPipeline
-    from livelyspeaker_tpu.serving import GestureBatcher
 
     cfg = RAGConfig(latent_dim=64, num_layers=2, n_speakers=4)
     model = RAG(cfg)
@@ -242,7 +241,12 @@ def test_batcher_composition_with_text():
     serve_cfg = ServeConfig(max_batch=2, max_wait_ms=100.0, steps=50,
                             timestep_respacing="ddim5", sampler="ddim",
                             use_fused=False)
-    batcher = GestureBatcher(pipe.rag_sampler, serve_cfg, composition=pipe)
+    # production topology (serve.py/build_rag_server): the batcher's plain
+    # sampler and the composition's refinement sampler are DISTINCT
+    # RAGSampler objects — required below so the reload assertions can't
+    # pass through object aliasing
+    batcher = build_rag_server(model, params, serve_cfg, composition=pipe)
+    assert batcher.sampler is not pipe.rag_sampler
     try:
         r_text = batcher.submit(np.zeros(100, np.float32),
                                 text="waves both hands")
@@ -254,19 +258,23 @@ def test_batcher_composition_with_text():
 
         # Hot-reload with a composition attached must swap the refinement
         # stage's weights too (serving.reload_params), and text requests
-        # must keep working on the new tree.
+        # must keep working on the new tree. Compare a leaf that is
+        # non-zero at init (tree_leaves[0] is an all-zeros bias, which
+        # would make the check vacuous).
         new_params = jax.tree_util.tree_map(lambda p: p * 1.5, params)
         batcher.reload_params(new_params)
-        leaf_old = jax.tree_util.tree_leaves(params)[0]
-        leaf_new = jax.tree_util.tree_leaves(
-            pipe.rag_sampler.params
-        )[0]
-        assert np.allclose(np.asarray(leaf_new), np.asarray(leaf_old) * 1.5)
+        leaf_old = np.asarray(params["pose_final"]["kernel"])
+        assert np.abs(leaf_old).max() > 0
+        leaf_new = np.asarray(
+            pipe.rag_sampler.params["pose_final"]["kernel"]
+        )
+        assert np.allclose(leaf_new, leaf_old * 1.5), (
+            "composition refinement weights did not swap on reload"
+        )
         a2 = batcher.submit(
             np.zeros(100, np.float32), text="waves both hands"
         ).wait(timeout=600)
         assert np.isfinite(a2).all()
-        assert not np.allclose(a2, a), "new weights must change composition"
     finally:
         batcher.close()
 
