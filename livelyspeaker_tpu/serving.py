@@ -424,85 +424,100 @@ class GestureBatcher:
             self._stash_len = 0
 
     def _run_loop(self, stash: List[GestureRequest]) -> None:
+        """Two-bucket batch scheduler.
+
+        Batches must be text-homogeneous when a composition is attached:
+        the composition applies its skip-step sketch warm start to EVERY
+        row of the batch, so a plain request coalesced with a text request
+        would silently get composition output (its result would depend on
+        batch co-occupants). Intake drains into a per-kind bucket; a
+        bucket dispatches when FULL, or when its oldest request's batching
+        window (max_wait_ms) expires. Under deep interleaved traffic both
+        buckets fill to max_batch before dispatching, so occupancy stays
+        near-full — a carry-one splitter measured a 2x throughput loss and
+        a dispatch-on-first-mismatch stash 32% (BASELINE.md); FIFO holds
+        per kind. ``stash`` is the shutdown-cleanup view: it always holds
+        exactly the requests waiting in either bucket.
+
+        Without a composition there is only one kind, and the scheduler
+        reduces to the classic single-queue window batcher.
+        """
+        buckets: Dict[bool, List] = {False: [], True: []}  # (arrival, req)
+        wait_s = self.cfg.max_wait_ms / 1000.0
+
+        def sync_stash():
+            stash[:] = [r for _, r in buckets[False] + buckets[True]]
+            self._stash_len = len(stash)
+
+        def pop_batch(kind):
+            take = buckets[kind][: self.cfg.max_batch]
+            buckets[kind] = buckets[kind][len(take):]
+            sync_stash()
+            return [r for _, r in take]
+
         while not self._stop.is_set():
-            if stash:
-                first = stash.pop(0)
-                self._stash_len = len(stash)
-            else:
-                try:
-                    first = self._q.get(timeout=0.1)
-                except queue.Empty:
-                    continue
-                if first is _SHUTDOWN:
-                    return
-            batch: List[GestureRequest] = [first]
-            deadline = time.monotonic() + self.cfg.max_wait_ms / 1000.0
-            while len(batch) < self.cfg.max_batch:
-                # Fill from the stash first — these are already-arrived
-                # requests of some kind; take the ones matching this batch.
-                if stash and self.composition is not None:
-                    matched = [
-                        r for r in stash
-                        if bool(r.text) == bool(first.text)
-                    ]
-                    if matched:
-                        take = matched[: self.cfg.max_batch - len(batch)]
-                        batch.extend(take)
-                        # identity-based removal: GestureRequest is a
-                        # dataclass with ndarray fields, __eq__ is unusable.
-                        # In-place (stash[:]) so _run's shutdown cleanup
-                        # sees the same list object.
-                        taken = {id(r) for r in take}
-                        stash[:] = [r for r in stash if id(r) not in taken]
-                        self._stash_len = len(stash)
+            # 1) a full bucket dispatches immediately
+            batch = None
+            for kind in (False, True):
+                if len(buckets[kind]) >= self.cfg.max_batch:
+                    batch = pop_batch(kind)
+                    break
+            if batch is None:
+                # 2) earliest window-expiry among non-empty buckets
+                deadlines = [
+                    (b[0][0] + wait_s, kind)
+                    for kind, b in buckets.items() if b
+                ]
+                now = time.monotonic()
+                if deadlines and min(deadlines)[0] <= now:
+                    batch = pop_batch(min(deadlines)[1])
+                else:
+                    # 3) pull intake until the nearest deadline
+                    timeout = (
+                        min(deadlines)[0] - now if deadlines else 0.1
+                    )
+                    try:
+                        item = self._q.get(timeout=max(timeout, 1e-3))
+                    except queue.Empty:
                         continue
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    item = self._q.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if item is _SHUTDOWN:
-                    self._stop.set()
-                    break
-                # Batches must be text-homogeneous when a composition is
-                # attached: the composition applies its skip-step sketch
-                # warm start to EVERY row of the batch, so a plain request
-                # coalesced with a text request would silently get
-                # composition output (its result would depend on batch
-                # co-occupants). Stash the odd ones for the next batch and
-                # keep filling this one — occupancy is preserved, at the
-                # cost of mild cross-kind reordering (FIFO per kind).
-                if self.composition is not None and bool(item.text) != bool(
-                    first.text
-                ):
-                    stash.append(item)
-                    self._stash_len = len(stash)
-                    if len(stash) >= self.cfg.max_batch:
-                        break  # enough arrived to fill the next batch
+                    if item is _SHUTDOWN:
+                        # drain what's waiting before exiting: these
+                        # requests were admitted, serve them
+                        for kind in (False, True):
+                            while buckets[kind]:
+                                self._emit(pop_batch(kind))
+                        return
+                    kind = (
+                        bool(item.text) if self.composition is not None
+                        else False
+                    )
+                    buckets[kind].append((time.monotonic(), item))
+                    sync_stash()
                     continue
-                batch.append(item)
+            self._emit(batch)
+
+    def _emit(self, batch: List[GestureRequest]) -> None:
+        """Dispatch a formed batch and route it to the collector."""
+        try:
+            out = self._dispatch(batch)
+        except BaseException as e:  # propagate to every waiter
+            for r in batch:
+                r.error = e
+                r.done.set()
+            return
+        if self.cfg.pipeline_depth <= 0:  # synchronous round-trip mode
+            self._finish(batch, out)
+            return
+        # Hand to the collector; a full in-flight queue blocks here,
+        # which is the pipeline-depth cap doing its job.
+        while not self._stop.is_set():
             try:
-                out = self._dispatch(batch)
-            except BaseException as e:  # propagate to every waiter
-                for r in batch:
-                    r.error = e
-                    r.done.set()
+                self._inflight.put((batch, out), timeout=0.2)
+                return
+            except queue.Full:
                 continue
-            if self.cfg.pipeline_depth <= 0:  # synchronous round-trip mode
-                self._finish(batch, out)
-                continue
-            # Hand to the collector; a full in-flight queue blocks here,
-            # which is the pipeline-depth cap doing its job.
-            while not self._stop.is_set():
-                try:
-                    self._inflight.put((batch, out), timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
-            else:  # shutting down with the pipe full: finish inline
-                self._finish(batch, out)
+        # shutting down with the pipe full: finish inline
+        self._finish(batch, out)
 
     def _dispatch(self, batch: Sequence[GestureRequest]):
         """Build the padded batch and dispatch the sampler (async). Returns
