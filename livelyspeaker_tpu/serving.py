@@ -378,8 +378,11 @@ class GestureBatcher:
     def close(self) -> None:
         self._stop.set()
         try:
-            # non-blocking: with a full queue (overload shutdown) the worker
-            # exits via the stop flag's 0.1 s poll instead
+            # non-blocking: with a full queue (overload shutdown) the
+            # sentinel is undeliverable, but then intake get()s return
+            # immediately, so the worker reaches its stop-flag check
+            # without delay; a LONG intake wait implies an empty queue,
+            # where this put always lands
             self._q.put_nowait(_SHUTDOWN)
         except queue.Full:
             pass

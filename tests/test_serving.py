@@ -799,3 +799,47 @@ def test_mixed_text_plain_batches_split():
         )
     finally:
         batcher.close()
+
+def test_full_bucket_dispatches_before_window():
+    """A bucket that reaches max_batch dispatches immediately — the
+    batching window bounds latency for PARTIAL batches only, it is not a
+    minimum dwell time."""
+    import time as _t
+
+    batcher, _ = _tiny_server(max_batch=2, max_wait_ms=60_000.0)
+    try:
+        t0 = _t.monotonic()
+        reqs = [batcher.submit(np.zeros(10, np.float32)) for _ in range(2)]
+        for r in reqs:
+            assert np.isfinite(r.wait(timeout=120)).all()
+        # compile dominates; anywhere under the 60 s window proves the
+        # full-bucket fast path fired instead of the expiry timer
+        assert _t.monotonic() - t0 < 45.0
+    finally:
+        batcher.close()
+
+
+def test_close_resolves_bucketed_waiters_promptly():
+    """A request parked in a scheduler bucket (batch not full, window far
+    in the future) must resolve promptly when close() runs — served by the
+    sentinel drain or failed with the shutdown error — not sleep out its
+    60 s batching window."""
+    import time as _t
+
+    batcher, _ = _tiny_server(max_batch=4, max_wait_ms=60_000.0)
+    try:
+        req = batcher.submit(np.zeros(10, np.float32))
+        # let the worker move it from the intake queue into its bucket
+        deadline = _t.monotonic() + 10.0
+        while batcher._stash_len == 0 and _t.monotonic() < deadline:
+            _t.sleep(0.01)
+        assert batcher._stash_len == 1
+    finally:
+        t0 = _t.monotonic()
+        batcher.close()
+    assert _t.monotonic() - t0 < 45.0
+    try:
+        out = req.wait(timeout=45)
+        assert np.isfinite(out).all()
+    except RuntimeError as e:
+        assert "shutting down" in str(e)
