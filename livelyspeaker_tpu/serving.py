@@ -412,21 +412,22 @@ class GestureBatcher:
 
     # ------------------------------------------------------------- worker
     def _run(self) -> None:
-        # Mismatched-kind requests pulled while filling a batch wait here
-        # for the NEXT batch (bounded by max_batch; FIFO within each kind).
-        stash: List[GestureRequest] = []
+        # Per-kind buckets of (arrival, request) awaiting a batch slot
+        # (bounded by max_batch; FIFO within each kind).
+        buckets: Dict[bool, List] = {False: [], True: []}
         try:
-            self._run_loop(stash)
+            self._run_loop(buckets)
         finally:
-            # the worker owns the stash: on any exit (shutdown sentinel,
-            # stop flag, crash) its waiters must fail promptly like
+            # the worker owns the buckets: on any exit (shutdown sentinel,
+            # stop flag, crash) their waiters must fail promptly like
             # close() fails the still-queued ones
-            for r in stash:
-                r.error = RuntimeError("server is shutting down")
-                r.done.set()
+            for b in buckets.values():
+                for _, r in b:
+                    r.error = RuntimeError("server is shutting down")
+                    r.done.set()
             self._stash_len = 0
 
-    def _run_loop(self, stash: List[GestureRequest]) -> None:
+    def _run_loop(self, buckets: Dict[bool, List]) -> None:
         """Two-bucket batch scheduler.
 
         Batches must be text-homogeneous when a composition is attached:
@@ -439,23 +440,18 @@ class GestureBatcher:
         buckets fill to max_batch before dispatching, so occupancy stays
         near-full — a carry-one splitter measured a 2x throughput loss and
         a dispatch-on-first-mismatch stash 32% (BASELINE.md); FIFO holds
-        per kind. ``stash`` is the shutdown-cleanup view: it always holds
-        exactly the requests waiting in either bucket.
+        per kind. ``buckets`` is owned by :meth:`_run`, whose ``finally``
+        fails any still-bucketed waiters on worker exit.
 
         Without a composition there is only one kind, and the scheduler
         reduces to the classic single-queue window batcher.
         """
-        buckets: Dict[bool, List] = {False: [], True: []}  # (arrival, req)
         wait_s = self.cfg.max_wait_ms / 1000.0
-
-        def sync_stash():
-            stash[:] = [r for _, r in buckets[False] + buckets[True]]
-            self._stash_len = len(stash)
 
         def pop_batch(kind):
             take = buckets[kind][: self.cfg.max_batch]
             buckets[kind] = buckets[kind][len(take):]
-            sync_stash()
+            self._stash_len = len(buckets[False]) + len(buckets[True])
             return [r for _, r in take]
 
         while not self._stop.is_set():
@@ -467,18 +463,17 @@ class GestureBatcher:
                     break
             if batch is None:
                 # 2) earliest window-expiry among non-empty buckets
-                deadlines = [
-                    (b[0][0] + wait_s, kind)
-                    for kind, b in buckets.items() if b
-                ]
+                nearest = min(
+                    ((b[0][0] + wait_s, kind)
+                     for kind, b in buckets.items() if b),
+                    default=None,
+                )
                 now = time.monotonic()
-                if deadlines and min(deadlines)[0] <= now:
-                    batch = pop_batch(min(deadlines)[1])
+                if nearest is not None and nearest[0] <= now:
+                    batch = pop_batch(nearest[1])
                 else:
                     # 3) pull intake until the nearest deadline
-                    timeout = (
-                        min(deadlines)[0] - now if deadlines else 0.1
-                    )
+                    timeout = nearest[0] - now if nearest else 0.1
                     try:
                         item = self._q.get(timeout=max(timeout, 1e-3))
                     except queue.Empty:
@@ -495,7 +490,7 @@ class GestureBatcher:
                         else False
                     )
                     buckets[kind].append((time.monotonic(), item))
-                    sync_stash()
+                    self._stash_len += 1
                     continue
             self._emit(batch)
 
