@@ -47,11 +47,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_transmlp_params(
-    backbone_params: Dict, num_layers: int, dtype=jnp.float32
+    backbone_params: Dict, num_layers: int, dtype=jnp.float32,
+    fold_ln2: bool = False,
 ) -> Dict:
     """Stack per-block Flax params into layer-major arrays, padding the
     sequence axis of the token mix to the sublane tile (8 rows for f32,
-    16 for bf16)."""
+    16 for bf16).
+
+    ``fold_ln2=True`` folds LN2's affine into the channel mix —
+    ``(z*g + b) @ W  ==  z @ (g[:,None]*W) + b@W`` — so the kernel runs a
+    scale/bias-free normalize before the channel matmul (2 fewer VPU ops
+    per element on the workload's bound unit); the returned dict then
+    omits ``ln2_scale``/``ln2_bias`` and the kernel detects the folded
+    layout by key absence.  Inference-only: the train VJP differentiates
+    w.r.t. the unfolded parameterisation."""
     blocks = [backbone_params[f"block_{i}"] for i in range(num_layers)]
     s = blocks[0]["token_mix_kernel"].shape[0]
     sublane = 16 if dtype == jnp.bfloat16 else _SUBLANE
@@ -78,26 +87,41 @@ def pack_transmlp_params(
         jnp.stack([jnp.asarray(b["token_mix_bias"]) for b in blocks])
     )
 
-    return {
+    ch_w = jnp.stack(
+        [jnp.asarray(b["channel_mix"]["kernel"]) for b in blocks]
+    )  # [L, D, D] f32 until folding is applied
+    ch_b = stack("channel_mix", "bias")  # [L, D]
+
+    out = {
         "ln1_scale": stack("ln1", "scale"),  # [L, D]
         "ln1_bias": stack("ln1", "bias"),
         "token_w": tk.astype(dtype),  # [L, S_pad, S_pad]
         "token_b": tb,  # [L, S_pad, 1] f32
-        "ln2_scale": stack("ln2", "scale"),
-        "ln2_bias": stack("ln2", "bias"),
-        "ch_w": jnp.stack(
-            [jnp.asarray(b["channel_mix"]["kernel"]) for b in blocks]
-        ).astype(dtype),  # [L, D, D]
-        "ch_b": stack("channel_mix", "bias"),  # [L, D]
     }
+    if fold_ln2:
+        g = stack("ln2", "scale")  # [L, D]
+        beta = stack("ln2", "bias")  # [L, D]
+        # bias fold uses the ORIGINAL weights (beta @ W), then scale rows
+        ch_b = ch_b + jnp.einsum("ld,lde->le", beta, ch_w)
+        ch_w = g[:, :, None] * ch_w
+    else:
+        out["ln2_scale"] = stack("ln2", "scale")
+        out["ln2_bias"] = stack("ln2", "bias")
+    out["ch_w"] = ch_w.astype(dtype)
+    out["ch_b"] = ch_b
+    return out
 
 
-def _ln(x, scale, bias, eps=1e-5):
+def _ln_core(x, eps=1e-5):
     # two-pass variance: the one-pass E[x^2]-E[x]^2 form measured identical
     # speed here (Mosaic fuses the sweeps) with worse cancellation error
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    return _ln_core(x, eps) * scale + bias
 
 
 def _kernel(
@@ -106,14 +130,18 @@ def _kernel(
     ln1s_ref, ln1b_ref,  # [L, D]
     tw_ref,  # [L, S_pad, S_pad]
     tb_ref,  # [L, S_pad, 1]
-    ln2s_ref, ln2b_ref,  # [L, D]
-    cw_ref,  # [L, D, D]
-    cb_ref,  # [L, D]
-    *rest,  # optional (ow_ref [D, P], ob_ref [1, P]), then out_ref
+    *rest,  # (ln2s_ref, ln2b_ref) unless ln2_folded; cw_ref [L,D,D];
+    #         cb_ref [L,D]; optional (ow_ref [D,P], ob_ref [1,P]); out_ref
     num_layers: int,
     act,
     with_out_proj: bool,
+    ln2_folded: bool,
 ):
+    if ln2_folded:
+        ln2s_ref = ln2b_ref = None
+        cw_ref, cb_ref, *rest = rest
+    else:
+        ln2s_ref, ln2b_ref, cw_ref, cb_ref, *rest = rest
     if with_out_proj:
         ow_ref, ob_ref, out_ref = rest
     else:
@@ -139,11 +167,15 @@ def _kernel(
         )
         hm = hm + tb_ref[l][:, :, None].astype(jnp.float32)
         x = x + act(hm).astype(dt)
-        h = _ln(
-            x.astype(jnp.float32),
-            ln2s_ref[l][None, None].astype(jnp.float32),
-            ln2b_ref[l][None, None].astype(jnp.float32),
-        ).astype(dt)
+        if ln2_folded:
+            # LN2's affine lives in the channel-mix weights/bias
+            h = _ln_core(x.astype(jnp.float32)).astype(dt)
+        else:
+            h = _ln(
+                x.astype(jnp.float32),
+                ln2s_ref[l][None, None].astype(jnp.float32),
+                ln2b_ref[l][None, None].astype(jnp.float32),
+            ).astype(dt)
         hc = jax.lax.dot_general(
             h.reshape(s_pad * tb, d).astype(cw_ref.dtype),
             cw_ref[l],
@@ -225,7 +257,13 @@ def fused_transmlp(
     vmem_limit = min(int(wbytes + 10 * tile_bytes) + (1 << 20), 100 << 20)
 
     with_out_proj = out_proj is not None
+    ln2_folded = "ln2_scale" not in packed  # static at trace time
     p_out = out_proj["out_w"].shape[1] if with_out_proj else d
+    ln2_inputs = []
+    ln2_specs = []
+    if not ln2_folded:
+        ln2_inputs = [packed["ln2_scale"], packed["ln2_bias"]]
+        ln2_specs = [full(l, d), full(l, d)]
     extra_inputs = []
     extra_specs = []
     if with_out_proj:
@@ -235,7 +273,7 @@ def fused_transmlp(
     out = pl.pallas_call(
         functools.partial(
             _kernel, num_layers=num_layers, act=act,
-            with_out_proj=with_out_proj,
+            with_out_proj=with_out_proj, ln2_folded=ln2_folded,
         ),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
@@ -250,8 +288,7 @@ def fused_transmlp(
             full(l, d),
             full(l, s_pad, s_pad),
             full(l, s_pad, 1),
-            full(l, d),
-            full(l, d),
+        ] + ln2_specs + [
             full(l, d, d),
             full(l, d),
         ] + extra_specs,
@@ -274,8 +311,7 @@ def fused_transmlp(
         packed["ln1_bias"],
         packed["token_w"],
         packed["token_b"],
-        packed["ln2_scale"],
-        packed["ln2_bias"],
+        *ln2_inputs,
         packed["ch_w"],
         packed["ch_b"],
         *extra_inputs,

@@ -161,3 +161,39 @@ def test_fused_vjp_rag_param_tree_and_loss(rng_np):
     np.testing.assert_allclose(
         np.asarray(out0["output"]), np.asarray(out1["output"]), atol=2e-4
     )
+
+
+def test_fused_transmlp_fold_ln2_matches_flax(rng_np):
+    """fold_ln2=True absorbs LN2's affine into the channel-mix weights;
+    with randomized (non-identity) LN2 params the folded kernel must still
+    match the Flax backbone."""
+    batch, seq, dim, layers = 4, 35, 128, 2
+    model = TransMLP(seq_len=seq, num_layers=layers, dim=dim)
+    x = jnp.asarray(rng_np.normal(size=(batch, seq, dim)).astype(np.float32))
+    t = jnp.asarray(rng_np.integers(0, 1000, size=(batch,)))
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    params = jax.tree.map(
+        lambda p: p * 50.0 if p.ndim == 2 and p.shape == (dim, dim) else p,
+        params,
+    )
+    # non-trivial LN2 affine so the fold actually moves something
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: (
+            p + jnp.asarray(
+                rng_np.normal(scale=0.5, size=p.shape).astype(np.float32)
+            )
+            if any(getattr(k, "key", None) == "ln2" for k in path)
+            else p
+        ),
+        params,
+    )
+
+    ref = model.apply({"params": params}, x, t)
+    emb = TimestepEmbedder(dim).apply({"params": params["embed_timestep"]}, t)
+    folded = pack_transmlp_params(params, layers, fold_ln2=True)
+    assert "ln2_scale" not in folded and "ln2_bias" not in folded
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_transmlp(x, emb, folded, batch_tile=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
